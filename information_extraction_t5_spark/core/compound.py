@@ -1,0 +1,142 @@
+"""Compound-answer explosion + metric grouping keys (row kernels).
+
+A compound prediction covers several subfields in one string.  For
+per-subfield metrics the row is *exploded* into aligned (label, prediction)
+sub-rows: the first prediction occurrence of each label typename is matched,
+missing typenames yield '', derived example_ids get ``~typename`` /
+``*`` suffixes, sub-row probabilities are zeroed, and ORIG/DISJOINT metric
+cohorts become flag columns (Spark-side they were index lists in the
+reference).  Reference: features/postprocess.py:16-246.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+from information_extraction_t5_spark.core import parsing
+
+
+def _first_or_empty(items: List[str]) -> str:
+    return items[0] if items else ""
+
+
+def explode_row(
+    label: str,
+    prediction: str,
+    document_id: str,
+    example_id: str,
+    prob: float,
+    window_ids: str,
+    keep_original_compound: bool = True,
+    keep_disjoint_compound: bool = True,
+) -> List[dict]:
+    """Explode one scored row into original + per-subanswer metric rows.
+
+    ``window_ids`` is the space-joined window-id string produced by the
+    top-1-window stage (one id per prediction subanswer).  Output rows carry:
+
+      is_original    -> row belongs to the ORIG cohort (answers as emitted)
+      disjoint_class -> document class for the DISJOINT cohort, else None
+      star           -> clue/SENT-stripped variant (example_id ends with '*')
+    """
+    wids = [int(w) for w in window_ids.split(" ")] if window_ids else []
+    label_subs, label_tns = parsing.deconstruct(label)
+    pred_subs, pred_tns = parsing.deconstruct(prediction)
+    doc_class = example_id.split(".")[0]
+    rows: List[dict] = []
+
+    def emit(lab, pred, ex_id, p, wid, sids, raw, orig, disjoint):
+        rows.append(
+            {
+                "label": lab,
+                "prediction": pred,
+                "document_id": document_id,
+                "example_id": ex_id,
+                "prob": p,
+                "window_ids": wid,
+                "sent_ids": sids,
+                "raw_text": raw,
+                "is_original": orig,
+                "disjoint_class": disjoint,
+            }
+        )
+
+    if len(label_tns) <= 1 or keep_original_compound:
+        joined_label = " ".join(label_subs)
+        joined_pred = " ".join(pred_subs)
+        emit(
+            joined_label, joined_pred, example_id, prob, wids,
+            None, None, keep_original_compound, None,
+        )
+        if len(label_tns) <= 1:
+            head_pred = _first_or_empty(pred_subs)
+            emit(
+                parsing.subanswer_of(joined_label),
+                parsing.subanswer_of(joined_pred),
+                example_id + "*",
+                prob,
+                wids,
+                parsing.sent_ids(head_pred),
+                parsing.raw_text_of(head_pred),
+                False,
+                doc_class if keep_disjoint_compound else None,
+            )
+
+    if len(label_tns) > 1:
+        head_wid = wids[:1]  # compound rows replicate one window id
+        for label_ss, label_tn in zip(label_subs, label_tns):
+            try:
+                pred_ss = pred_subs[pred_tns.index(label_tn)]
+            except ValueError:
+                pred_ss = ""
+            emit(
+                label_ss, pred_ss, f"{example_id}~{label_tn}", 0.0, head_wid,
+                None, None, False, None,
+            )
+            emit(
+                parsing.subanswer_of(label_ss),
+                parsing.subanswer_of(pred_ss),
+                f"{example_id}~{label_tn}*",
+                0.0,
+                head_wid,
+                parsing.sent_ids(pred_ss),
+                parsing.raw_text_of(pred_ss),
+                False,
+                doc_class if keep_disjoint_compound else None,
+            )
+
+    return rows
+
+
+def group_keys(example_id: str, group_by_typenames: bool = True) -> List[str]:
+    """Metric-rollup group keys for one example id.
+
+    Every id groups under itself; non-``~`` ids also group under their
+    document class; ``_N``-suffixed multi-chunk ids additionally group under
+    the suffix-stripped id (preserving ``~typename`` / ``*`` markers).
+    Reference: postprocess.py:16-70 (index lists become exploded keys).
+    """
+    keys: List[str] = []
+    if group_by_typenames and "~" not in example_id:
+        keys.append(example_id.split(".")[0])
+    keys.append(example_id)
+
+    if group_by_typenames:
+        comp: Optional[str] = None
+        base = example_id
+        if "~" in example_id:
+            base, comp = example_id.rsplit("~", 1)
+        try:
+            stem, tail = base.rsplit("_", 1)
+            starred = tail.endswith("*")
+            if comp is None and starred:
+                tail = tail[:-1]
+            int(tail.strip())  # only numeric suffixes group
+            if comp is not None:
+                stem += "~" + comp
+            elif starred:
+                stem += "*"
+            keys.append(stem)
+        except ValueError:
+            pass
+
+    return keys

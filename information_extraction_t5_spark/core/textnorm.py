@@ -1,0 +1,150 @@
+"""Text normalization + QA metrics (pure-Python kernels).
+
+Row-level semantics re-implemented from the reference:
+  - document-text cleanup (reference: features/context.py:409-416,
+    basic_to_squad.py:226)
+  - SENT-token numbering and linebreak handling (features/preprocess.py:19-97)
+  - T5 input/label formatting (features/preprocess.py:253-321)
+  - SQuAD-style answer normalization + exact/F1 (utils/metrics.py:14-63)
+"""
+from __future__ import annotations
+
+import re
+import string
+import unicodedata
+from collections import Counter
+from typing import List, Union
+
+_PUNCT = set(string.punctuation)
+_RE_ARTICLES = re.compile(r"\b(a|an|the)\b", re.UNICODE)
+_RE_WS_AROUND_NL = re.compile(r"\s*\n+\s*")
+_RE_REPEAT_WS = re.compile(r"(\s)\1+")
+
+WEIRD_CHARS = "༡༨/༢"  # OCR garbage stripped up-front (basic_to_squad.py:226)
+
+
+def clean_document_text(text: str) -> str:
+    """Canonical document-text cleanup so char offsets are stable.
+
+    Tabs become spaces; whitespace-wrapped newline runs collapse to one
+    newline; repeated whitespace collapses; chars that desync tokenizers are
+    rewritten; result is stripped. Reference: context.py:409-416.
+    """
+    text = text.replace(WEIRD_CHARS, "")
+    text = text.replace("\t", " ")
+    text = _RE_WS_AROUND_NL.sub("\n", text)
+    text = _RE_REPEAT_WS.sub(r"\1", text)
+    text = text.replace("´", "'").replace("™", "TM").replace("…", "...")
+    return text.strip()
+
+
+def brackets_to_parens(text: str) -> str:
+    """'{'->'(' and '}'->')' so literal braces never collide with the
+    numbered-token templating (reference: preprocess.py:19-23)."""
+    return text.replace("{", "(").replace("}", ")")
+
+
+def number_sentences(text: str) -> str:
+    """Prefix each newline-delimited sentence with a 1-based ``[SENTi]`` tag.
+
+    A leading tag is always present. Reference: preprocess.py:37-67.
+
+    >>> number_sentences('foo\\nbar')
+    ' [SENT1] foo [SENT2] bar'
+    """
+    parts = brackets_to_parens(text).split("\n")
+    return "".join(f" [SENT{i}] {s}" for i, s in enumerate(parts, start=1))
+
+
+def newlines_to_spaces(text: str) -> str:
+    """Reference: preprocess.py:70-81."""
+    return text.replace("\n", " ")
+
+
+def sent_id_at(context: str, position: int) -> int:
+    """1-based sentence id of a char offset; -1 (absent) maps to 0
+    (reference: preprocess.py:84-97)."""
+    if position == -1:
+        return 0
+    return context[:position].count("\n") + 1
+
+
+def t5_input(context: str, question: str, use_sentence_id: bool) -> str:
+    """'question: {q} context: {c}' with SENT tags or flattened newlines
+    (reference: preprocess.py:253-270)."""
+    ctx = number_sentences(context) if use_sentence_id else newlines_to_spaces(context)
+    return f"question: {question} context: {ctx}"
+
+
+def t5_label(
+    answer: str,
+    answer_start: Union[List[int], int, None],
+    context: str,
+    use_sentence_id: bool,
+) -> str:
+    """Prepend SENT tags to a label (compound labels get one per subanswer).
+
+    Reference: preprocess.py:273-321. ``answer_start`` is a char offset
+    (-1 = not present in window), a list of offsets for compound answers,
+    or None (non-annotated: left untouched).
+    """
+    if not use_sentence_id:
+        return answer
+    if isinstance(answer_start, list):
+        pieces = answer.split("[")[1:]
+        tagged = []
+        starts = iter(answer_start)
+        for piece in pieces:
+            if piece.startswith("aparece no texto"):
+                tagged.append(f"[{piece}")
+            else:
+                sid = sent_id_at(context, next(starts, -1))
+                tagged.append(f"[SENT{sid}] [{piece}")
+        return "".join(tagged).strip() if not tagged else " ".join(
+            t.strip() for t in tagged
+        )
+    if isinstance(answer_start, int):
+        sid = sent_id_at(context, answer_start)
+        return f"[SENT{sid}] {answer}"
+    return answer
+
+
+def strip_accents(s: str) -> str:
+    return "".join(
+        c for c in unicodedata.normalize("NFD", s)
+        if unicodedata.category(c) != "Mn"
+    )
+
+
+def normalize_answer(s: str) -> str:
+    """Lowercase, strip punctuation + accents + english articles, collapse
+    whitespace (reference: utils/metrics.py:14-37)."""
+    s = "".join(ch for ch in s.lower() if ch not in _PUNCT)
+    s = strip_accents(s)
+    s = _RE_ARTICLES.sub(" ", s)
+    return " ".join(s.split())
+
+
+def answer_tokens(s: str) -> List[str]:
+    if not s:
+        return []
+    return normalize_answer(s).split()
+
+
+def exact_match(gold: str, pred: str) -> int:
+    """Reference: metrics.py:46-47."""
+    return int(normalize_answer(gold) == normalize_answer(pred))
+
+
+def token_f1(gold: str, pred: str) -> float:
+    """Multiset token F1 (reference: metrics.py:50-63)."""
+    gt = answer_tokens(gold)
+    pt = answer_tokens(pred)
+    overlap = sum((Counter(gt) & Counter(pt)).values())
+    if not gt or not pt:
+        return float(gt == pt)
+    if overlap == 0:
+        return 0.0
+    precision = overlap / len(pt)
+    recall = overlap / len(gt)
+    return 2 * precision * recall / (precision + recall)

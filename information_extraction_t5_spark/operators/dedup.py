@@ -1,0 +1,188 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies over a (id, text) corpus, all shuffle-disciplined:
+
+  exact          hash-groupBy on a content fingerprint (one shuffle)
+  minhash-LSH    shingle -> minhash -> band buckets -> bucket join
+  simhash        64-bit weighted-token hash, hamming-bucketed
+  ngram-jaccard  exact jaccard on n-gram sets for blocked candidates
+  embedding      cosine near-dup over array<float> vectors
+
+Each returns either a survivors DataFrame or a duplicate-pairs DataFrame.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from information_extraction_t5_spark.functions.vectors import cosine
+from information_extraction_t5_spark.operators.linking import (
+    lsh_candidate_pairs,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str,
+                normalize: bool = True) -> DataFrame:
+    """Keep the min-id row per identical (optionally normalized) content.
+
+    Content key is md5 — group on the digest, not the text, so the shuffle
+    moves 32-byte keys instead of documents.
+    """
+    content = F.col(text_col)
+    if normalize:
+        content = F.lower(F.trim(F.regexp_replace(content, r"\s+", " ")))
+    keyed = df.withColumn("_fp", F.md5(content))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(fingerprint, n_copies, keeper) for groups with >1 copy."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n_hashes: int = 16, bands: int = 4,
+                        k: int = 5) -> DataFrame:
+    """Near-dup candidate pairs via minhash banding (see linking.py)."""
+    return lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands, k)
+
+
+def word_ngrams(col, n: int = 3):
+    """array<string> of word n-grams."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def ngram_jaccard(a, b, n: int = 3):
+    """Exact Jaccard over distinct word n-grams of two text columns."""
+    ga = F.array_distinct(word_ngrams(a, n))
+    gb = F.array_distinct(word_ngrams(b, n))
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(F.array_union(ga, gb)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.8, n: int = 3,
+                        n_hashes: int = 16, bands: int = 8) -> DataFrame:
+    """LSH-blocked pairs verified with exact n-gram Jaccard >= threshold.
+
+    Blocking first: the quadratic verify only runs inside buckets.
+    """
+    cand = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands)
+    texts = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    a = texts.withColumnRenamed("_id", "id_a").withColumnRenamed("_t", "text_a")
+    b = texts.withColumnRenamed("_id", "id_b").withColumnRenamed("_t", "text_b")
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("text_a"), F.col("text_b"), n))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(col, n_bits: int = 64):
+    """64-bit SimHash over word tokens, pure expressions.
+
+    Per token: xxhash64; per bit: +1 if set else -1; sign of the sum is the
+    fingerprint bit.  aggregate() keeps the whole reduction JVM-side.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, i=i: acc
+            + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+        )
+        for i in range(n_bits)
+    ]
+    out = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        max_hamming: int = 3, n_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on hash bands.
+
+    n_bits=16 keeps the expression tree small for tests; 64 for production.
+    Blocking: split the fingerprint into (max_hamming+1) chunks — a pair
+    within the budget must agree on at least one chunk (pigeonhole).
+    """
+    chunks = max_hamming + 1
+    chunk_bits = max(n_bits // chunks, 1)
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col), n_bits).alias("fp"),
+    )
+    banded = fp.select(
+        "id", "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), c * chunk_bits)
+                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.chunk_val") == F.col("r.chunk_val"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+            F.col("l.fp").alias("fp_a"), F.col("r.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                          threshold: float = 0.95) -> DataFrame:
+    """Cosine near-dup pairs.  Brute-force within-bucket: callers should
+    pre-bucket (e.g. vectors.hyperplane_sign_bits) before this at scale;
+    at test scale the full self-join is fine."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

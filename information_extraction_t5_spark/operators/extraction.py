@@ -1,0 +1,308 @@
+"""Batched question-conditioned extraction (the model surface).
+
+The per-row inference loop of the reference (reference: models/qa_model.py:
+140-171, one driver-side batch at a time) becomes ONE distributed lineage:
+
+    windows x broadcast(question registry)  ->  mapInPandas(batched model)
+
+The extractor is pluggable and loaded once per executor Python worker
+(module-level cache), consuming Arrow record batches — no per-row Python in
+the hot path.  Two implementations:
+
+  - RegexFormExtractor: deterministic, dependency-free; stands in for T5 so
+    tests/bench run without GPU or weights (SURVEY.md §5 target strategy).
+  - Seq2SeqExtractor: the real GPU inner loop (batched generate + in-batch
+    probability scoring, exp(-loss/len); reference: qa_model.py:154-163,
+    327-342). Gated behind transformers/torch availability.
+"""
+from __future__ import annotations
+
+import math
+import re
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from information_extraction_t5_spark.core.registry import (
+    DEFAULT_PREDICATES,
+    Predicate,
+    TYPENAME_TO_TYPE,
+    registry_rows,
+)
+from information_extraction_t5_spark.core.textnorm import sent_id_at
+
+# ---------------------------------------------------------------------------
+# QA expansion: every window asks every registry question
+# ---------------------------------------------------------------------------
+
+
+def registry_df(spark, predicates: Optional[List[Predicate]] = None):
+    return spark.createDataFrame(
+        registry_rows(predicates or DEFAULT_PREDICATES),
+        "qa_id string, project string, field string, question string, "
+        "questions array<string>, subfields array<string>, is_compound boolean",
+    )
+
+
+def expand_questions(windows: DataFrame, registry: DataFrame) -> DataFrame:
+    """Broadcast cross join window x predicate (reference loop:
+    basic_to_squad.py:253-317).  The registry is tiny — always broadcast;
+    the result keeps the windows' partitioning (narrow)."""
+    return windows.crossJoin(F.broadcast(registry))
+
+
+# ---------------------------------------------------------------------------
+# Extractors
+# ---------------------------------------------------------------------------
+
+
+class RegexFormExtractor:
+    """Deterministic stand-in model for the synthetic form transcripts.
+
+    Emits exactly the reference answer grammar: '[SENTi] [Type]: value'
+    per subanswer, '[Type]: N/A' for absent fields, and an
+    '[aparece no texto]' complement when the canonical value differs from
+    the surface form (dotted document numbers).
+    """
+
+    FIELD_PATTERNS = {
+        "etiqueta": r"^(ID\d{5})$",
+        "conta_corrente": r"Conta Corrente (\S+)",
+        "cpf": r"^(\d{3}\.\d{3}\.\d{3}-\d{2})$",
+        "nome_completo": r"Nome Completo (.+)$",
+        "orgao_emissor": r"Órgão Emissor (\S+)",
+        "data_emissao": r"Data de Emissão (\d{2}/\d{2}/\d{4})",
+        "data_nascimento": r"Data de Nascimento (\d{2}/\d{2}/\d{4})",
+        "nome_mae": r"Nome da Mãe (.+)$",
+        "nome_pai": r"Nome do Pai (.+)$",
+        "logradouro": r"Rua/Av/Pça/Estrada (.+)$",
+        "bairro": r"^Bairro (.+)$",
+        "cidade": r"Município (.+)$",
+        "estado": r"^UF (.+?)(?: País.*)?$",
+        "cep": r"^(\d{5}-\d{3})$",
+    }
+
+    def __init__(self):
+        self._compiled = {
+            k: re.compile(v, re.MULTILINE) for k, v in self.FIELD_PATTERNS.items()
+        }
+
+    @staticmethod
+    def _core_span(text: str) -> Tuple[int, int]:
+        """Trustworthy region of a window: windows snap to spaces mid-line,
+        so a leading/trailing '...' means the first/last line may be a cut
+        fragment — never match inside it (the overlapping neighbor window
+        sees the complete line)."""
+        start, end = 0, len(text)
+        if text.startswith("..."):
+            nl = text.find("\n")
+            start = nl + 1 if nl != -1 else len(text)
+        if text.endswith("..."):
+            nl = text.rfind("\n")
+            end = nl if nl != -1 else start
+        return start, max(start, end)
+
+    def _find(self, field: str, text: str, lo: int, hi: int
+              ) -> Tuple[Optional[str], int, Optional[str]]:
+        """(canonical value, char pos in full window, raw surface if it
+        differs). Only matches within text[lo:hi]."""
+        core = text[lo:hi]
+        # line start offsets (within core) for next-line lookups
+        lines = core.split("\n")
+        starts, acc = [], 0
+        for ln in lines:
+            starts.append(acc)
+            acc += len(ln) + 1
+        if field == "agencia":
+            for i in range(len(lines) - 1):
+                if lines[i].strip().endswith("Agência Nº"):
+                    m = re.match(r"^(\d{4})$", lines[i + 1].strip())
+                    if m:
+                        return m.group(1), lo + starts[i + 1], None
+            return None, -1, None
+        if field == "numero":
+            for i in range(len(lines) - 1):
+                if lines[i].strip() == "Número":
+                    m = re.match(
+                        r"^(\d+)(?: Complemento .*)?$", lines[i + 1].strip()
+                    )
+                    if m:
+                        return m.group(1), lo + starts[i + 1], None
+            return None, -1, None
+        if field == "n_doc_serie":
+            m = re.search(r"^([\d.]+) Órgão Emissor", core, re.MULTILINE)
+            if not m:
+                return None, -1, None
+            raw = m.group(1)
+            canon = raw.replace(".", "")
+            return canon, lo + m.start(1), (raw if raw != canon else None)
+        if field == "complemento":
+            m = re.search(r"Complemento (.+)$", core, re.MULTILINE)
+            if m:
+                return m.group(1), lo + m.start(1), None
+            return None, -1, None
+        pat = self._compiled.get(field)
+        if pat is None:
+            return None, -1, None
+        m = pat.search(core)
+        if not m:
+            return None, -1, None
+        return m.group(1), lo + m.start(1), None
+
+    def _subanswer(self, field: str, window_text: str,
+                   lo: int, hi: int) -> Tuple[str, bool]:
+        value, pos, raw = self._find(field, window_text, lo, hi)
+        dtype = TYPENAME_TO_TYPE[field]
+        if value is None:
+            return f"[{dtype}]: N/A", False
+        sid = sent_id_at(window_text, pos)
+        piece = f"[SENT{sid}] [{dtype}]: {value}"
+        if raw:
+            piece += f" [aparece no texto] {raw}"
+        return piece, True
+
+    def predict(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        preds, probs = [], []
+        for text, field, is_compound, subfields in zip(
+            pdf["window_text"], pdf["field"], pdf["is_compound"], pdf["subfields"]
+        ):
+            text = text or ""
+            lo, hi = self._core_span(text)
+            if is_compound:
+                pieces, found = [], 0
+                for sf in list(subfields):
+                    piece, hit = self._subanswer(sf, text, lo, hi)
+                    pieces.append(piece)
+                    found += int(hit)
+                pred = " ".join(pieces)
+                n_asked = max(len(list(subfields)), 1)
+            else:
+                pred, hit = self._subanswer(field, text, lo, hi)
+                found, n_asked = int(hit), 1
+            preds.append(pred)
+            # deterministic pseudo-probability: higher when more subfields
+            # ground in this window (analogue of exp(-loss/len);
+            # reference: qa_model.py:327-342)
+            probs.append(round(math.exp(-(n_asked - found) / n_asked), 6))
+        out = pdf.copy()
+        out["prediction"] = preds
+        out["prob"] = probs
+        return out
+
+
+class Seq2SeqExtractor:
+    """Batched T5 generate + scoring — real-model path.
+
+    Loads once per worker; tokenizes per Arrow batch with padding, beam
+    search generate, then one teacher-forced forward for exp(-loss/len)
+    probabilities (reference: qa_model.py:99-171,327-342).  Requires
+    transformers+torch at runtime; absent in this sandbox by design.
+    """
+
+    def __init__(self, model_name: str, num_beams: int = 5,
+                 max_length: int = 200):
+        try:
+            import torch  # noqa: F401
+            from transformers import (AutoModelForSeq2SeqLM,  # noqa: F401
+                                      AutoTokenizer)
+        except ImportError as e:  # pragma: no cover - sandbox has no torch
+            raise NotImplementedError(
+                "Seq2SeqExtractor needs torch+transformers; use "
+                "RegexFormExtractor in environments without them"
+            ) from e
+        import torch
+        from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
+
+        torch.set_num_threads(1)  # never oversubscribe executor cores
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.model = AutoModelForSeq2SeqLM.from_pretrained(model_name).eval()
+        self.num_beams = num_beams
+        self.max_length = max_length
+
+    def predict(self, pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
+        import torch
+
+        inputs = [
+            f"question: {q} context: {t}"
+            for q, t in zip(pdf["question"], pdf["window_text"])
+        ]
+        enc = self.tokenizer(
+            inputs, padding=True, truncation=True, max_length=512,
+            return_tensors="pt",
+        )
+        with torch.no_grad():
+            gen = self.model.generate(
+                **enc, num_beams=self.num_beams, max_length=self.max_length,
+                early_stopping=True,
+            )
+            preds = self.tokenizer.batch_decode(gen, skip_special_tokens=True)
+            labels = self.tokenizer(
+                preds, padding=True, return_tensors="pt"
+            ).input_ids
+            labels[labels == self.tokenizer.pad_token_id] = -100
+            out = self.model(**enc, labels=labels)
+            lens = (labels != -100).sum(dim=1).clamp(min=1)
+            # per-row loss -> probability exp(-loss/len)
+            logits = out.logits
+            losses = torch.nn.functional.cross_entropy(
+                logits.transpose(1, 2), labels.clamp(min=0),
+                reduction="none",
+            )
+            losses = (losses * (labels != -100)).sum(dim=1)
+            probs = torch.exp(-losses / lens).tolist()
+        res = pdf.copy()
+        res["prediction"] = preds
+        res["prob"] = [round(p, 6) for p in probs]
+        return res
+
+
+# one model per executor python worker (not per batch, not per row)
+_EXTRACTOR_CACHE: dict = {}
+
+
+def _get_extractor(kind: str, model_name: Optional[str]):
+    key = (kind, model_name)
+    if key not in _EXTRACTOR_CACHE:
+        if kind == "regex":
+            _EXTRACTOR_CACHE[key] = RegexFormExtractor()
+        elif kind == "seq2seq":
+            _EXTRACTOR_CACHE[key] = Seq2SeqExtractor(model_name or "t5-small")
+        else:
+            raise ValueError(f"unknown extractor kind: {kind}")
+    return _EXTRACTOR_CACHE[key]
+
+
+EXTRACTION_SCHEMA = (
+    "conv_id string, window_id int, window_offset int, window_text string, "
+    "qa_id string, question string, is_compound boolean, "
+    "prediction string, prob double"
+)
+
+
+def run_extraction(
+    qa_windows: DataFrame,
+    extractor: str = "regex",
+    model_name: Optional[str] = None,
+) -> DataFrame:
+    """mapInPandas batched extraction over (window x question) rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _get_extractor(extractor, model_name)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = model.predict(pdf)
+            yield out[
+                [
+                    "conv_id", "window_id", "window_offset", "window_text",
+                    "qa_id", "question", "is_compound", "prediction", "prob",
+                ]
+            ]
+
+    cols = [
+        "conv_id", "window_id", "window_offset", "window_text",
+        "qa_id", "question", "is_compound", "field", "subfields",
+    ]
+    return qa_windows.select(*cols).mapInPandas(gen, schema=EXTRACTION_SCHEMA)

@@ -1,0 +1,179 @@
+"""Entity linking: alias normalization, LSH blocking, salted joins.
+
+Three scale-aware pieces:
+
+  - alias dictionary broadcast join (the reference's variation expansion,
+    highlights.py:13-58, generalized): surface form -> canonical id.
+  - MinHash blocking for fuzzy candidate generation: shingle -> minhash
+    signature -> band buckets -> equi-join on bucket, then exact
+    Levenshtein re-rank (reference semantics: highlights.py:96-174).
+    Candidate generation never compares all pairs — the equi-join on
+    (band, band_hash) is the blocker.
+  - salted join for hot keys: explode the small side S ways, salt the big
+    side with pmod(hash, S) — bounds the largest task when one entity
+    dominates (beyond what AQE skew-split handles).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from information_extraction_t5_spark.core.fuzzy import AREA_UNITS, STATE_NAMES
+
+
+def alias_rows() -> List[dict]:
+    """(alias_lower -> canonical) seeded from the reference's state/area
+    variation maps; identity rows included so lookups are total."""
+    rows = []
+    for code, name in STATE_NAMES.items():
+        rows.append({"alias": name.lower(), "canonical": code})
+        rows.append({"alias": code.lower(), "canonical": code})
+    for canon, variants in AREA_UNITS.items():
+        rows.append({"alias": canon.lower(), "canonical": canon})
+        for v in variants:
+            rows.append({"alias": v.lower(), "canonical": canon})
+    return rows
+
+
+def alias_df(spark) -> DataFrame:
+    return spark.createDataFrame(alias_rows(), "alias string, canonical string")
+
+
+def link_aliases(
+    df: DataFrame,
+    aliases: DataFrame,
+    value_col: str = "obj",
+    out_col: str = "obj",
+    predicates: Optional[List[str]] = None,
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Broadcast-join alias normalization of a value column.
+
+    Only rows whose predicate is in ``predicates`` (None = all) are
+    rewritten; everything else passes through untouched. The alias table is
+    broadcast — no shuffle of the big side.
+    """
+    pred_ok = (
+        F.lit(True) if predicates is None
+        else F.col(pred_col).isin(predicates)
+    )
+    joined = df.join(
+        F.broadcast(aliases),
+        on=[F.lower(F.col(value_col)) == aliases["alias"], pred_ok],
+        how="left",
+    )
+    return joined.withColumn(
+        out_col, F.coalesce(F.col("canonical"), F.col(value_col))
+    ).drop("alias", "canonical")
+
+
+# ---------------------------------------------------------------------------
+# MinHash/LSH blocking (DataFrame-native, md5-based so oracles can replay it)
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(col, k: int = 3):
+    """array<string> of k-char shingles of lower(col)."""
+    lowered = F.lower(col)
+    n = F.greatest(F.length(lowered) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(lowered, i, k)
+    )
+
+
+def minhash_signature(col, n_hashes: int = 16, k: int = 3):
+    """array<string>: per seed, the min md5 over shingles.
+
+    md5(seed || shingle) is engine-portable (DuckDB computes the identical
+    signature), unlike xxhash64.  For raw speed at scale swap in
+    xxhash64(shingle, seed) — same structure, one line.
+    """
+    sh = char_shingles(col, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(str(i) + ":"), s)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_buckets(df: DataFrame, id_col: str, text_col: str,
+                n_hashes: int = 16, bands: int = 4, k: int = 3) -> DataFrame:
+    """(id, band, band_key): one row per band; equal band_key => candidate."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(F.col(text_col), n_hashes, k)
+    out = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return out.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", F.slice(F.col("sig"), b * rows_per_band + 1,
+                                     rows_per_band)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n_hashes: int = 16, bands: int = 4,
+                        k: int = 3) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
+
+    The self-join is on (band, band_key) — shuffle is hash-partitioned on
+    the bucket key, never all-pairs.  Dedup across bands via distinct.
+    """
+    b = lsh_buckets(df, id_col, text_col, n_hashes, bands, k)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def levenshtein_rerank(pairs: DataFrame, values: DataFrame,
+                       id_col: str, value_col: str,
+                       max_dist: int = 3) -> DataFrame:
+    """Exact re-rank of blocked candidates: keep pairs within a Levenshtein
+    budget (reference dist schedule: highlights.py:96-106). ``values`` is
+    (id, value); joined twice (both sides small after blocking)."""
+    v1 = values.select(F.col(id_col).alias("id_a"),
+                       F.col(value_col).alias("val_a"))
+    v2 = values.select(F.col(id_col).alias("id_b"),
+                       F.col(value_col).alias("val_b"))
+    return (
+        pairs.join(v1, "id_a").join(v2, "id_b")
+        .withColumn("dist", F.levenshtein("val_a", "val_b"))
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-proof equi-join: replicate the small side ``salt`` ways and
+    scatter the big side with pmod(xxhash64(key), salt).  Use when one key
+    (a hot entity) would otherwise pin a single reducer."""
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(salt)).cast("int")
+    )
+    return salted_big.join(salted_small, on=[key, "_salt"], how=how).drop("_salt")

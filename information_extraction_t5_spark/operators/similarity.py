@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (array<float>).
+
+  - brute-force cosine top-k: one pass, JVM-side expression math, window
+    top-k — the correctness baseline.
+  - LSH-bucketed top-k: random-hyperplane buckets shrink the candidate set;
+    multi-probe (query matches its bucket + neighbors) trades recall for a
+    bounded join fan-out.  The scale path for 10^9 vectors.
+"""
+from __future__ import annotations
+
+import random
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from information_extraction_t5_spark.functions.vectors import (
+    cosine,
+    hyperplane_sign_bits,
+    lit_vector,
+)
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    r = random.Random(seed)
+    return [[r.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k ids by cosine to a single query vector.
+
+    orderBy+limit lets Spark run a distributed TakeOrdered — no full sort.
+    """
+    q = lit_vector(query)
+    return (
+        vectors.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join_bruteforce(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k nearest right-rows for every left-row (exact, O(n*m) — only for
+    small right sides or pre-bucketed inputs)."""
+    l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("qv"))
+    r = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("nv"))
+    scored = l.crossJoin(r).select(
+        "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: restrict to the query's hyperplane bucket, then
+    exact cosine.  Bucket assignment is a pure expression (no UDF); the
+    filter prunes before any join/shuffle."""
+    dim = len(query)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) > 0:
+            qbits |= 1 << i
+    bucketed = vectors.withColumn(
+        "bucket", hyperplane_sign_bits(F.col(vec_col), planes)
+    )
+    q = lit_vector(query)
+    return (
+        bucketed.filter(F.col("bucket") == qbits)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

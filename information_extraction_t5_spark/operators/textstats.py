@@ -1,0 +1,119 @@
+"""Text analysis for training-data pipelines — pure expressions.
+
+Language ID (stopword-ratio heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and fingerprinting — all codegen-friendly,
+no UDFs, so they run at scan speed over 100 TB corpora.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "of", "and", "to", "in", "is", "that", "it", "for",
+                "on", "with", "as", "was", "at", "by"]
+PT_STOPWORDS = ["de", "do", "da", "que", "e", "em", "um", "uma", "para",
+                "com", "os", "as", "no", "na", "por"]
+ES_STOPWORDS = ["el", "la", "los", "las", "que", "y", "en", "un", "una",
+                "por", "con", "del", "se", "su", "para"]
+
+
+def ws_tokens(col: Column) -> Column:
+    t = F.split(F.trim(F.lower(col)), r"\s+")
+    return F.filter(t, lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored proxy: alnum runs and single punctuation marks each
+    count as a token (regexp_extract_all, still JVM-side)."""
+    pieces = F.regexp_extract_all(
+        col, F.lit(r"([A-Za-z0-9]+|[^A-Za-z0-9\s])"), 1
+    )
+    return F.size(pieces)
+
+
+def stopword_ratio(col: Column, stopwords) -> Column:
+    toks = ws_tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def language_id(col: Column) -> Column:
+    """Argmax of per-language stopword ratios, 'und' when all zero."""
+    en = stopword_ratio(col, EN_STOPWORDS)
+    pt = stopword_ratio(col, PT_STOPWORDS)
+    es = stopword_ratio(col, ES_STOPWORDS)
+    best = F.greatest(en, pt, es)
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(pt == best, F.lit("pt"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    total = F.length(col)
+    punct = F.length(col) - F.length(
+        F.regexp_replace(col, r"[^\w\s]", "")
+    )
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        punct.cast("double") / total
+    )
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = ws_tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """[0,1] heuristic: length sweet-spot, low punctuation noise, plausible
+    word lengths, some stopwords (fluency proxy)."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / 50.0, F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4.0)
+    mwl = mean_word_length(col)
+    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    stop_score = F.least(
+        (stopword_ratio(col, EN_STOPWORDS)
+         + stopword_ratio(col, PT_STOPWORDS)) * 5.0,
+        F.lit(1.0),
+    )
+    return F.round(
+        0.3 * len_score + 0.3 * punct_score + 0.2 * word_score
+        + 0.2 * stop_score,
+        6,
+    )
+
+
+def content_fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint over normalized content (md5 —
+    portable across engines; swap for xxhash64 at scale)."""
+    norm = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.md5(norm)
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stat block to a corpus."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        language_id(c).alias("lang_guess"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        content_fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,184 @@
+"""End-to-end KG construction: extract -> link -> canonicalize -> materialize.
+
+One declarative lineage (the reference's predict.py stages 2-8 as a single
+DataFrame program, SURVEY.md §3.3):
+
+    transcripts
+      -> assemble_documents            (1 shuffle: groupBy conv_id)
+      -> sliding_windows_exact         (narrow, Arrow UDF kernel)
+      -> expand_questions              (broadcast join, narrow)
+      -> run_extraction                (mapInPandas, batched model)
+      -> top1_window                   (1 shuffle: window over conv,qa)
+      -> explode_compound              (narrow)
+      -> to_triples                    (narrow)
+      -> link_aliases                  (broadcast join)
+      -> canonical_entities            (O(log n) small shuffles)
+      -> materialize nodes/edges       (partitioned write + lineage)
+
+Checkpointed per stage via Catalog.stage — a killed run resumes from the
+last committed snapshot (reference cache-guard semantics,
+qa_model.py:144-145).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from information_extraction_t5_spark.catalog import Catalog
+from information_extraction_t5_spark.core.windows import WindowSpec
+from information_extraction_t5_spark.functions.text import normalize_answer
+from information_extraction_t5_spark.operators.canonicalize import (
+    canonical_entities,
+)
+from information_extraction_t5_spark.operators.extraction import (
+    expand_questions,
+    registry_df,
+    run_extraction,
+)
+from information_extraction_t5_spark.operators.linking import (
+    alias_df,
+    link_aliases,
+)
+from information_extraction_t5_spark.operators.postprocess import (
+    explode_compound,
+    ground_spans,
+    to_triples,
+    top1_window,
+)
+from information_extraction_t5_spark.operators.windows import (
+    assemble_documents,
+    sliding_windows_exact,
+)
+
+
+@dataclass
+class PipelineConfig:
+    window: WindowSpec = field(default_factory=lambda: WindowSpec(
+        max_size=700, window_overlap=0.2, max_windows=6,
+        question="Qual o endereço?", use_sentence_id=True,
+    ))
+    extractor: str = "regex"
+    model_name: Optional[str] = None
+    link_predicates: List[str] = field(
+        default_factory=lambda: ["form.endereco.estado"]
+    )
+    ground: bool = False          # fuzzy span grounding (extra Arrow stage)
+    subj_buckets: int = 64        # subj-hash write partitioning
+
+
+def extract_candidates(spark: SparkSession, transcripts: DataFrame,
+                       cfg: PipelineConfig) -> DataFrame:
+    """transcripts -> scored per-window predictions (pre-top-1)."""
+    docs = assemble_documents(transcripts)
+    windows = sliding_windows_exact(docs, cfg.window)
+    qa = expand_questions(windows, registry_df(spark))
+    return run_extraction(qa, extractor=cfg.extractor,
+                          model_name=cfg.model_name)
+
+
+def candidates_to_triples(scored: DataFrame, cfg: PipelineConfig,
+                          spark: SparkSession) -> DataFrame:
+    """scored predictions -> linked candidate triples."""
+    best = top1_window(scored, use_fewer_na=True)
+    # labels are unknown at inference: reuse predictions as the label slot
+    # (the explode kernel aligns label/pred typenames; identical here)
+    exploded = explode_compound(
+        best.withColumn("label", F.col("prediction")),
+        label_col="label", pred_col="prediction",
+        doc_col="conv_id", example_col="qa_id",
+        prob_col="prob", window_col="window_id",
+    )
+    triples = to_triples(exploded)
+    if cfg.ground:
+        wtexts = best.select("conv_id", "window_id", "window_text")
+        triples = ground_spans(
+            triples.join(wtexts, ["conv_id", "window_id"], "left")
+        )
+    return link_aliases(
+        triples, alias_df(spark),
+        value_col="obj", out_col="obj",
+        predicates=cfg.link_predicates, pred_col="pred",
+    )
+
+
+def canonicalize_subjects(triples: DataFrame) -> DataFrame:
+    """Attach canonical subject entity ids.
+
+    Mentions = conversations; blocking keys = exact CPF + normalized full
+    name (the linkable person identifiers among extracted triples).  Convs
+    sharing a key collapse to one entity; subj = 'ent:' + min conv_id.
+    """
+    keys = (
+        triples.filter(F.col("pred").isin("form.cpf", "form.nome_completo"))
+        .select(
+            "conv_id",
+            F.concat(
+                F.col("pred"), F.lit("="), normalize_answer(F.col("obj"))
+            ).alias("mention_key"),
+        )
+    )
+    mapping = canonical_entities(keys, "conv_id", "mention_key")
+    return (
+        triples.join(
+            mapping.withColumnRenamed("mention", "conv_id"), "conv_id", "left"
+        )
+        .withColumn(
+            "subj",
+            F.concat(
+                F.lit("ent:"),
+                F.coalesce(F.col("canonical_id"), F.col("conv_id")),
+            ),
+        )
+        .drop("canonical_id")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: Optional[PipelineConfig] = None,
+    catalog: Optional[Catalog] = None,
+) -> DataFrame:
+    """Full pipeline; with a Catalog, every stage is a resumable snapshot."""
+    cfg = cfg or PipelineConfig()
+
+    if catalog is None:
+        scored = extract_candidates(spark, transcripts, cfg)
+        triples = candidates_to_triples(scored, cfg, spark)
+        return canonicalize_subjects(triples)
+
+    scored = catalog.stage(
+        "stage_extract",
+        lambda: extract_candidates(spark, transcripts, cfg),
+        partition_by=None,
+    )
+    triples = catalog.stage(
+        "stage_triples",
+        lambda: candidates_to_triples(scored, cfg, spark),
+    )
+    final = catalog.stage(
+        "stage_canonical",
+        lambda: canonicalize_subjects(triples),
+    )
+    materialize_graph(final, catalog, cfg)
+    return final
+
+
+def materialize_graph(triples: DataFrame, catalog: Catalog,
+                      cfg: PipelineConfig) -> None:
+    """Node/edge tables partitioned by predicate and subj-hash bucket
+    (Iceberg layout per north rule; parquet directories in the sandbox)."""
+    edges = triples.withColumn(
+        "subj_bucket",
+        F.pmod(F.xxhash64("subj"), F.lit(cfg.subj_buckets)).cast("int"),
+    )
+    catalog.write(edges, "graph_edges", partition_by=["pred"])
+    nodes = (
+        triples.select(F.col("subj").alias("node_id"))
+        .union(triples.select(F.concat(F.lit("val:"), F.col("obj"))))
+        .distinct()
+    )
+    catalog.write(nodes, "graph_nodes")
