@@ -105,14 +105,15 @@ def simhash64(col, n_bits: int = 64):
     """
     toks = F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_acc(i: int):
+        # closure factory (extra lambda params would get index columns)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(1 << i)) != 0, 1
+        ).otherwise(-1)
+
     bit_sums = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, i=i: acc
-            + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
-        )
-        for i in range(n_bits)
+        F.aggregate(hashes, F.lit(0), bit_acc(i)) for i in range(n_bits)
     ]
     out = F.lit(0).cast("long")
     for i, s in enumerate(bit_sums):

@@ -91,13 +91,14 @@ def minhash_signature(col, n_hashes: int = 16, k: int = 3):
     xxhash64(shingle, seed) — same structure, one line.
     """
     sh = char_shingles(col, k)
+
+    def seeded(seed: int):
+        # closure factory: a 2-param lambda would receive (element, index)
+        # from transform() and clobber the seed
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(str(i) + ":"), s)))
-            )
-            for i in range(n_hashes)
-        ]
+        *[F.array_min(F.transform(sh, seeded(i))) for i in range(n_hashes)]
     )
 
 
