@@ -526,7 +526,178 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["event_type_rollup"] = event_type_rollup
 
+    def report_sort_concat(spark, sf):
+        # report sort (reference: qa_model.py:400): the ordered sequence of
+        # orders per customer, encoded so the value hash checks ORDER
+        o = _t(spark, sf, "orders")
+        return o.groupBy("o_custkey").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+                    ),
+                    lambda s: s["o_orderkey"].cast("string"),
+                ),
+                "|",
+            ).alias("order_seq")
+        )
+    q["report_sort_concat"] = report_sort_concat
+
+    def pivot_status_counts(spark, sf):
+        # Excel-pivot sink analogue (reference: qa_model.py:388-436)
+        o = _t(spark, sf, "orders")
+        p = (
+            o.groupBy("o_custkey")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .count()
+        )
+        return p.select(
+            "o_custkey",
+            F.coalesce("F", F.lit(0)).cast("bigint").alias("n_f"),
+            F.coalesce("O", F.lit(0)).cast("bigint").alias("n_o"),
+            F.coalesce("P", F.lit(0)).cast("bigint").alias("n_p"),
+        )
+    q["pivot_status_counts"] = pivot_status_counts
+
+    def subanswer_explode(spark, sf):
+        # compound-answer explode as pure SQL (reference: postprocess.py
+        # 73-246 simple path): '[Clue]: value' fragments -> aligned rows
+        c = _t(spark, sf, "customer")
+        answer = F.concat(
+            F.lit("[Nome]: "), F.col("c_name"),
+            F.lit(" [Segmento]: "), F.col("c_mktsegment"),
+        )
+        clues = F.regexp_extract_all(answer, F.lit(r"\[([^\]]+)\]"), 1)
+        vals = F.transform(
+            F.regexp_extract_all(answer, F.lit(r"\]:\s*([^\[]+)"), 1),
+            lambda v: F.trim(v),
+        )
+        return c.select(
+            "c_custkey",
+            F.posexplode(
+                F.arrays_zip(clues.alias("clue"), vals.alias("val"))
+            ),
+        ).select(
+            "c_custkey",
+            (F.col("pos") + 1).cast("bigint").alias("part_idx"),
+            F.col("col.clue").alias("clue"),
+            F.col("col.val").alias("value"),
+        )
+    q["subanswer_explode"] = subanswer_explode
+
+    def position_window(spark, sf):
+        # positional char window around an anchor (reference:
+        # context.py:39-130, fixed proportion, no shrink loop)
+        d = _t(spark, sf, "documents")
+        anchor = F.instr(F.col("text"), "data")  # 1-based, 0 if absent
+        start = F.greatest(anchor - 50, F.lit(1))
+        return d.filter(anchor > 0).select(
+            "doc_id",
+            F.substring(F.col("text"), start, F.lit(150)).alias("ctx"),
+            (start - 1).cast("bigint").alias("ctx_offset"),
+        )
+    q["position_window"] = position_window
+
+    def f1_rollup_approx(spark, sf):
+        from information_extraction_t5_spark.functions.metrics import (
+            f1_approx,
+        )
+        d = _t(spark, sf, "documents")
+        gold = F.substring("text", 1, 60)
+        pred = F.regexp_replace(F.substring("text", 1, 60), "the", "a")
+        scored = d.select(
+            "lang", F.round(f1_approx(gold, pred), 6).alias("f1")
+        )
+        return scored.rollup("lang").agg(
+            F.round(F.avg("f1") * 100.0, 4).alias("f1_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+        )
+    q["f1_rollup_approx"] = f1_rollup_approx
+
+    def quality_scores(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id", ts.quality_score(F.col("text")).alias("quality")
+        )
+    q["quality_scores"] = quality_scores
+
+    def simhash_md5_fingerprints(spark, sf):
+        # SimHash with engine-portable md5-derived token hashes (the
+        # production variant uses xxhash64; operators/dedup.py)
+        d = _t(spark, sf, "documents")
+        toks = F.array_distinct(
+            F.filter(F.split(F.trim(F.lower("text")), r"\s+"),
+                     lambda x: x != "")
+        )
+        h = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+            .cast("bigint"),
+        )
+
+        def bit_sum(i: int):
+            return F.aggregate(
+                h, F.lit(0),
+                lambda acc, v: acc + F.when(
+                    F.shiftright(v, i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+
+        fp = F.lit(0).cast("bigint")
+        for i in range(16):
+            fp = fp + F.when(bit_sum(i) > 0,
+                             F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+        return d.select("doc_id", fp.alias("fp"))
+    q["simhash_md5_fingerprints"] = simhash_md5_fingerprints
+
+    def cosine_dup_pairs(spark, sf):
+        e = (
+            _t(spark, sf, "embeddings")
+            .filter(F.col("vec_id") < 80)
+            .withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: x.cast("double")),
+            )
+        )
+        return dd.embedding_dedup_pairs(e, "vec_id", "embedding",
+                                        threshold=0.0).select(
+            "id_a", "id_b", F.round("cos", 6).alias("cos")
+        ).filter(F.col("cos") >= 0.9)
+    q["cosine_dup_pairs"] = cosine_dup_pairs
+
     # ---- KG pipeline (non-SQL-expressible: rows-only checks) ----
+
+    def kg_eval_rollup(spark, sf):
+        # exact/F1 eval of pipeline predictions vs planted goldens, rolled
+        # up by metric group keys (reference: metrics.py:104-131 +
+        # postprocess.py:16-70); Arrow-UDF F1 => rows-only check
+        from information_extraction_t5_spark.data import synth
+        from information_extraction_t5_spark.functions.metrics import (
+            eval_rollup, score,
+        )
+        from information_extraction_t5_spark.operators.postprocess import (
+            with_group_keys,
+        )
+        from information_extraction_t5_spark.pipeline import run_pipeline
+
+        n = 40
+        triples = run_pipeline(spark, synth.transcripts_df(spark, n))
+        golden = synth.golden_triples_df(spark, n).withColumnRenamed(
+            "obj", "gold_obj"
+        )
+        paired = (
+            triples.select("conv_id", "pred", "obj")
+            .join(golden, ["conv_id", "pred"], "full")
+            .select(
+                F.coalesce("conv_id", F.lit("?")).alias("document_id"),
+                F.coalesce("pred", F.lit("?")).alias("example_id"),
+                F.coalesce("obj", F.lit("")).alias("prediction"),
+                F.coalesce("gold_obj", F.lit("")).alias("label"),
+            )
+        )
+        scored = score(with_group_keys(paired), "label", "prediction")
+        return eval_rollup(scored)
+    q["kg_eval_rollup"] = kg_eval_rollup
 
     def kg_triples(spark, sf):
         from information_extraction_t5_spark.data import synth
@@ -919,6 +1090,143 @@ def oracle_sql() -> dict[str, str]:
                cast(count(*) as bigint) as n
         from scored group by label
     """.replace("from v b, a", "from (select label, e from v) b, a")
+
+    o["report_sort_concat"] = """
+        select o_custkey,
+               string_agg(cast(o_orderkey as varchar), '|'
+                 order by o_orderdate, o_orderkey) as order_seq
+        from orders group by o_custkey
+    """
+
+    o["pivot_status_counts"] = """
+        select o_custkey,
+               cast(sum(case when o_orderstatus = 'F' then 1 else 0 end)
+                    as bigint) as n_f,
+               cast(sum(case when o_orderstatus = 'O' then 1 else 0 end)
+                    as bigint) as n_o,
+               cast(sum(case when o_orderstatus = 'P' then 1 else 0 end)
+                    as bigint) as n_p
+        from orders group by o_custkey
+    """
+
+    o["subanswer_explode"] = """
+        with a as (
+          select c_custkey,
+                 '[Nome]: ' || c_name || ' [Segmento]: ' || c_mktsegment
+                   as answer
+          from customer),
+        parts as (
+          select c_custkey,
+                 regexp_extract_all(answer, '\\[([^\\]]+)\\]', 1) as clues,
+                 list_transform(
+                   regexp_extract_all(answer, '\\]:\\s*([^\\[]+)', 1),
+                   v -> trim(v)) as vals
+          from a)
+        select c_custkey,
+               cast(u.z['i'] as bigint) as part_idx,
+               u.z['c'] as clue, u.z['v'] as value
+        from parts,
+        lateral unnest(list_transform(generate_series(1, len(clues)),
+          i -> {'i': i, 'c': clues[i], 'v': vals[i]})) as u(z)
+    """
+
+    o["position_window"] = """
+        with p as (select doc_id, text, strpos(text, 'data') as anchor
+                   from documents)
+        select doc_id,
+               substring(text, greatest(anchor - 50, 1), 150) as ctx,
+               cast(greatest(anchor - 50, 1) - 1 as bigint) as ctx_offset
+        from p where anchor > 0
+    """
+
+    _toks60 = ("list_filter(string_split({norm}, ' '), x -> x != '')"
+               .format(norm=_norm_sql("substring(text, 1, 60)")))
+    _toks60p = ("list_filter(string_split({norm}, ' '), x -> x != '')"
+                .format(norm=_norm_sql(
+                    "regexp_replace(substring(text, 1, 60), 'the', 'a', 'g')"
+                )))
+    o["f1_rollup_approx"] = f"""
+        with s as (
+          select lang, {_toks60} as gt, {_toks60p} as pt from documents),
+        f as (
+          select lang,
+                 case
+                   when len(gt) = 0 and len(pt) = 0 then 1.0
+                   when len(gt) = 0 or len(pt) = 0 then 0.0
+                   when len(list_intersect(gt, pt)) = 0 then 0.0
+                   else round(
+                     2.0 * (cast(len(list_intersect(gt, pt)) as double)
+                            / len(pt))
+                         * (cast(len(list_intersect(gt, pt)) as double)
+                            / len(gt))
+                     / ((cast(len(list_intersect(gt, pt)) as double)
+                         / len(pt))
+                        + (cast(len(list_intersect(gt, pt)) as double)
+                           / len(gt))), 6)
+                 end as f1
+          from s)
+        select lang, round(avg(f1) * 100.0, 4) as f1_pct,
+               cast(count(*) as bigint) as total
+        from f group by rollup(lang)
+    """
+
+    _TOKS = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+             " x -> x != '')")
+    _NTOK = f"len({_TOKS})"
+    _PR = (f"case when length(text) = 0 or text is null then 0.0 else "
+           f"cast(length(text) - length(regexp_replace(text,"
+           f" '[^\\w\\s]', '', 'g')) as double) / length(text) end")
+    _MWL = (f"case when {_NTOK} = 0 then 0.0 else "
+            f"cast(list_sum(list_transform({_TOKS}, t -> length(t)))"
+            f" as double) / {_NTOK} end")
+    _ENR = (f"case when {_NTOK} = 0 then 0.0 else cast(len(list_filter("
+            f"{_TOKS}, t -> list_contains(['the','of','and','to','in','is',"
+            f"'that','it','for','on','with','as','was','at','by'], t)))"
+            f" as double) / {_NTOK} end")
+    _PTR = (f"case when {_NTOK} = 0 then 0.0 else cast(len(list_filter("
+            f"{_TOKS}, t -> list_contains(['de','do','da','que','e','em',"
+            f"'um','uma','para','com','os','as','no','na','por'], t)))"
+            f" as double) / {_NTOK} end")
+    o["quality_scores"] = f"""
+        select doc_id,
+               round(
+                 0.3 * least(cast({_NTOK} as double) / 50.0, 1.0)
+               + 0.3 * greatest(0.0, 1.0 - ({_PR}) * 4.0)
+               + 0.2 * (case when ({_MWL}) >= 3.0 and ({_MWL}) <= 10.0
+                             then 1.0 else 0.5 end)
+               + 0.2 * least((({_ENR}) + ({_PTR})) * 5.0, 1.0), 6)
+               as quality
+        from documents
+    """
+
+    _HTOK = ("list_transform(list_distinct(" + _TOKS + "), t -> "
+             "('0x' || substring(md5(t), 1, 8))::bigint)")
+    _BITS = " + ".join(
+        f"(case when list_sum(list_transform({_HTOK}, v -> "
+        f"case when (v >> {i}) & 1 = 1 then 1 else -1 end)) > 0 "
+        f"then {1 << i} else 0 end)"
+        for i in range(16)
+    )
+    o["simhash_md5_fingerprints"] = f"""
+        select doc_id,
+               cast(coalesce({_BITS}, 0) as bigint) as fp
+        from documents
+    """
+
+    o["cosine_dup_pairs"] = """
+        with v as (select vec_id, embedding::double[] as e from embeddings
+                   where vec_id < 80),
+        scored as (
+          select a.vec_id as id_a, b.vec_id as id_b,
+                 round(
+                   list_sum(list_transform(generate_series(1, len(a.e)),
+                     i -> a.e[i] * b.e[i]))
+                   / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.e, x -> x * x)))),
+                   6) as cos
+          from v a join v b on a.vec_id < b.vec_id)
+        select id_a, id_b, cos from scored where cos >= 0.9
+    """
 
     o["events_hourly"] = """
         select time_bucket(interval '1 hour', ts) as hour_start,

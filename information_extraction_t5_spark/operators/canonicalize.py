@@ -29,6 +29,9 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
+        # the edge set is re-joined every round: cut its lineage once so
+        # upstream stages (extraction!) are never recomputed per iteration
+        .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))

@@ -84,10 +84,26 @@ class RegexFormExtractor:
         "cep": r"^(\d{5}-\d{3})$",
     }
 
-    def __init__(self):
+    def __init__(self, cost_ms: float = 0.0):
+        """cost_ms: deterministic CPU burn per window, emulating the
+        per-window latency of a real seq2seq model (regex matching is
+        ~1000x cheaper than batched T5 generation; without the calibrated
+        cost a local scaling test measures scheduler overhead, not the
+        engine).  0 disables it."""
         self._compiled = {
             k: re.compile(v, re.MULTILINE) for k, v in self.FIELD_PATTERNS.items()
         }
+        self.cost_ms = cost_ms
+
+    def _burn(self) -> None:
+        if self.cost_ms <= 0:
+            return
+        import time as _time
+
+        end = _time.perf_counter() + self.cost_ms / 1000.0
+        x = 0
+        while _time.perf_counter() < end:
+            x += 1
 
     @staticmethod
     def _core_span(text: str) -> Tuple[int, int]:
@@ -163,33 +179,77 @@ class RegexFormExtractor:
             piece += f" [aparece no texto] {raw}"
         return piece, True
 
+    def answer(self, window_text: str, field: str, is_compound: bool,
+               subfields) -> Tuple[str, float]:
+        """One (window, predicate) answer + deterministic pseudo-probability
+        (higher when more subfields ground in this window — the analogue of
+        exp(-loss/len); reference: qa_model.py:327-342)."""
+        text = window_text or ""
+        lo, hi = self._core_span(text)
+        if is_compound:
+            pieces, found = [], 0
+            for sf in list(subfields):
+                piece, hit = self._subanswer(sf, text, lo, hi)
+                pieces.append(piece)
+                found += int(hit)
+            pred = " ".join(pieces)
+            n_asked = max(len(list(subfields)), 1)
+        else:
+            pred, hit = self._subanswer(field, text, lo, hi)
+            found, n_asked = int(hit), 1
+        return pred, round(math.exp(-(n_asked - found) / n_asked), 6)
+
     def predict(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        """(window x question)-row API, for pre-expanded inputs."""
         preds, probs = [], []
         for text, field, is_compound, subfields in zip(
-            pdf["window_text"], pdf["field"], pdf["is_compound"], pdf["subfields"]
+            pdf["window_text"], pdf["field"], pdf["is_compound"],
+            pdf["subfields"],
         ):
-            text = text or ""
-            lo, hi = self._core_span(text)
-            if is_compound:
-                pieces, found = [], 0
-                for sf in list(subfields):
-                    piece, hit = self._subanswer(sf, text, lo, hi)
-                    pieces.append(piece)
-                    found += int(hit)
-                pred = " ".join(pieces)
-                n_asked = max(len(list(subfields)), 1)
-            else:
-                pred, hit = self._subanswer(field, text, lo, hi)
-                found, n_asked = int(hit), 1
+            pred, prob = self.answer(text, field, is_compound, subfields)
             preds.append(pred)
-            # deterministic pseudo-probability: higher when more subfields
-            # ground in this window (analogue of exp(-loss/len);
-            # reference: qa_model.py:327-342)
-            probs.append(round(math.exp(-(n_asked - found) / n_asked), 6))
+            probs.append(prob)
         out = pdf.copy()
         out["prediction"] = preds
         out["prob"] = probs
         return out
+
+    def predict_windows(self, pdf: pd.DataFrame, registry_spec) -> pd.DataFrame:
+        """Window-row API: answers every registry predicate per window.
+
+        The window text crosses Arrow exactly once (not once per question)
+        and never travels back — only ids + predictions do.
+        """
+        out = {"conv_id": [], "window_id": [], "window_offset": [],
+               "qa_id": [], "prediction": [], "prob": []}
+        for cid, wid, woff, text in zip(
+            pdf["conv_id"], pdf["window_id"], pdf["window_offset"],
+            pdf["window_text"],
+        ):
+            text = text or ""
+            lo, hi = self._core_span(text)
+            self._burn()
+            for qa_id, field, _question, subfields in registry_spec:
+                if subfields:
+                    pieces, found = [], 0
+                    for sf in subfields:
+                        piece, hit = self._subanswer(sf, text, lo, hi)
+                        pieces.append(piece)
+                        found += int(hit)
+                    pred = " ".join(pieces)
+                    n_asked = len(subfields)
+                else:
+                    pred, hit = self._subanswer(field, text, lo, hi)
+                    found, n_asked = int(hit), 1
+                out["conv_id"].append(cid)
+                out["window_id"].append(wid)
+                out["window_offset"].append(woff)
+                out["qa_id"].append(qa_id)
+                out["prediction"].append(pred)
+                out["prob"].append(
+                    round(math.exp(-(n_asked - found) / n_asked), 6)
+                )
+        return pd.DataFrame(out)
 
 
 class Seq2SeqExtractor:
@@ -257,16 +317,39 @@ class Seq2SeqExtractor:
         res["prob"] = [round(p, 6) for p in probs]
         return res
 
+    def predict_windows(self, pdf: pd.DataFrame,
+                        registry_spec) -> pd.DataFrame:  # pragma: no cover
+        """Expand (window x question) internally and run batched generate —
+        the expansion happens where the GPU batch is formed, not in a
+        Spark-side join."""
+        expanded = {"conv_id": [], "window_id": [], "window_offset": [],
+                    "qa_id": [], "question": [], "window_text": []}
+        for cid, wid, woff, text in zip(
+            pdf["conv_id"], pdf["window_id"], pdf["window_offset"],
+            pdf["window_text"],
+        ):
+            for qa_id, _field, question, _sub in registry_spec:
+                expanded["conv_id"].append(cid)
+                expanded["window_id"].append(wid)
+                expanded["window_offset"].append(woff)
+                expanded["qa_id"].append(qa_id)
+                expanded["question"].append(question)
+                expanded["window_text"].append(text)
+        out = self.predict(pd.DataFrame(expanded))
+        return out[["conv_id", "window_id", "window_offset", "qa_id",
+                    "prediction", "prob"]]
+
 
 # one model per executor python worker (not per batch, not per row)
 _EXTRACTOR_CACHE: dict = {}
 
 
-def _get_extractor(kind: str, model_name: Optional[str]):
-    key = (kind, model_name)
+def _get_extractor(kind: str, model_name: Optional[str],
+                   cost_ms: float = 0.0):
+    key = (kind, model_name, cost_ms)
     if key not in _EXTRACTOR_CACHE:
         if kind == "regex":
-            _EXTRACTOR_CACHE[key] = RegexFormExtractor()
+            _EXTRACTOR_CACHE[key] = RegexFormExtractor(cost_ms=cost_ms)
         elif kind == "seq2seq":
             _EXTRACTOR_CACHE[key] = Seq2SeqExtractor(model_name or "t5-small")
         else:
@@ -275,34 +358,80 @@ def _get_extractor(kind: str, model_name: Optional[str]):
 
 
 EXTRACTION_SCHEMA = (
-    "conv_id string, window_id int, window_offset int, window_text string, "
-    "qa_id string, question string, is_compound boolean, "
-    "prediction string, prob double"
+    "conv_id string, window_id int, window_offset int, "
+    "qa_id string, prediction string, prob double"
 )
 
 
 def run_extraction(
-    qa_windows: DataFrame,
+    windows: DataFrame,
+    predicates: Optional[List[Predicate]] = None,
     extractor: str = "regex",
     model_name: Optional[str] = None,
+    model_cost_ms: float = 0.0,
 ) -> DataFrame:
-    """mapInPandas batched extraction over (window x question) rows."""
+    """mapInPandas batched extraction over *window* rows.
+
+    The question registry rides in the closure (it is tiny and static), so
+    each window's text crosses the Arrow boundary once — not once per
+    question — and the output carries ids + predictions only; window
+    payloads are rejoined downstream by (conv_id, window_id) when needed.
+    A seq2seq extractor expands (window x question) batches internally,
+    which is also where the GPU wants them.
+    """
+    preds = predicates or DEFAULT_PREDICATES
+    registry_spec = [
+        (p.qa_id, p.field, p.questions[0], tuple(p.subfields)) for p in preds
+    ]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _get_extractor(extractor, model_name)
+        model = _get_extractor(extractor, model_name, model_cost_ms)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = model.predict(pdf)
-            yield out[
-                [
-                    "conv_id", "window_id", "window_offset", "window_text",
-                    "qa_id", "question", "is_compound", "prediction", "prob",
-                ]
-            ]
+            yield model.predict_windows(pdf, registry_spec)
 
-    cols = [
-        "conv_id", "window_id", "window_offset", "window_text",
-        "qa_id", "question", "is_compound", "field", "subfields",
+    cols = ["conv_id", "window_id", "window_offset", "window_text"]
+    return windows.select(*cols).mapInPandas(gen, schema=EXTRACTION_SCHEMA)
+
+
+def run_extraction_from_documents(
+    documents: DataFrame,
+    window_spec,
+    predicates: Optional[List[Predicate]] = None,
+    extractor: str = "regex",
+    model_name: Optional[str] = None,
+    model_cost_ms: float = 0.0,
+) -> DataFrame:
+    """Fused window-assembly + extraction: one Arrow crossing per document.
+
+    Window texts are produced and consumed inside the same Python worker —
+    they never materialize as a Spark column.  Use when downstream stages
+    don't need window_text (grounding off); otherwise build windows
+    explicitly and call run_extraction.
+    """
+    from information_extraction_t5_spark.core.windows import sliding_windows
+
+    preds = predicates or DEFAULT_PREDICATES
+    registry_spec = [
+        (p.qa_id, p.field, p.questions[0], tuple(p.subfields)) for p in preds
     ]
-    return qa_windows.select(*cols).mapInPandas(gen, schema=EXTRACTION_SCHEMA)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _get_extractor(extractor, model_name, model_cost_ms)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            win = {"conv_id": [], "window_id": [], "window_offset": [],
+                   "window_text": []}
+            for cid, text in zip(pdf["conv_id"], pdf["text"]):
+                for w in sliding_windows(text or "", window_spec):
+                    win["conv_id"].append(cid)
+                    win["window_id"].append(w.window_id)
+                    win["window_offset"].append(w.offset)
+                    win["window_text"].append(w.text)
+            yield model.predict_windows(pd.DataFrame(win), registry_spec)
+
+    return documents.select("conv_id", "text").mapInPandas(
+        gen, schema=EXTRACTION_SCHEMA
+    )

@@ -59,14 +59,20 @@ def link_aliases(
         F.lit(True) if predicates is None
         else F.col(pred_col).isin(predicates)
     )
-    joined = df.join(
+    # pure equi key (NULL when not linkable) so Catalyst picks a
+    # BroadcastHashJoin — mixing non-equi predicates into a LEFT join
+    # degenerates to BroadcastNestedLoopJoin
+    keyed = df.withColumn(
+        "_alias_key", F.when(pred_ok, F.lower(F.col(value_col)))
+    )
+    joined = keyed.join(
         F.broadcast(aliases),
-        on=[F.lower(F.col(value_col)) == aliases["alias"], pred_ok],
+        on=keyed["_alias_key"] == aliases["alias"],
         how="left",
     )
     return joined.withColumn(
         out_col, F.coalesce(F.col("canonical"), F.col(value_col))
-    ).drop("alias", "canonical")
+    ).drop("alias", "canonical", "_alias_key")
 
 
 # ---------------------------------------------------------------------------

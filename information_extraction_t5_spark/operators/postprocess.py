@@ -165,6 +165,59 @@ def to_triples(exploded: DataFrame) -> DataFrame:
     return exploded.mapInPandas(gen, schema=TRIPLE_SCHEMA)
 
 
+def best_to_triples(best: DataFrame) -> DataFrame:
+    """Fused explode_compound + to_triples for the inference path: one Arrow
+    crossing, emitting only the star-row triples (metric cohort rows are a
+    training/eval concern — use the standalone operators there).
+
+    Input: top-1 rows (conv_id, qa_id, window_id, prediction, prob).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "conv_id": [], "pred": [], "obj": [], "obj_raw": [],
+                "window_id": [], "prob": [], "sent_id": [],
+            }
+            for doc, ex, pred_sentence, prob, wid in zip(
+                pdf["conv_id"], pdf["qa_id"], pdf["prediction"],
+                pdf["prob"], pdf["window_id"],
+            ):
+                n_subs = len(parsing.deconstruct(pred_sentence or "")[0])
+                wids = " ".join([str(wid)] * max(n_subs, 1))
+                for row in compound_kernel.explode_row(
+                    pred_sentence or "", pred_sentence or "", doc, ex,
+                    float(prob), wids,
+                ):
+                    ex_id = row["example_id"]
+                    if not ex_id.endswith("*"):
+                        continue
+                    base = ex_id[:-1]
+                    if "~" in base:
+                        stem, tn = base.rsplit("~", 1)
+                        predicate = f"{stem}.{tn}"
+                    else:
+                        predicate = base
+                    values = parsing.clean_answers(row["prediction"] or "")
+                    obj = values[0] if values else ""
+                    if not obj or obj == "N/A":
+                        continue
+                    sids = row["sent_ids"] or []
+                    w = row["window_ids"] or []
+                    out["conv_id"].append(doc)
+                    out["pred"].append(predicate)
+                    out["obj"].append(obj)
+                    out["obj_raw"].append(row["raw_text"])
+                    out["window_id"].append(int(w[0]) if w else -1)
+                    out["prob"].append(float(row["prob"]))
+                    out["sent_id"].append(int(sids[0]) if sids else -1)
+            yield pd.DataFrame(out)
+
+    return best.select(
+        "conv_id", "qa_id", "window_id", "prediction", "prob"
+    ).mapInPandas(gen, schema=TRIPLE_SCHEMA)
+
+
 SPAN_SCHEMA = (
     "conv_id string, pred string, obj string, obj_raw string, "
     "window_id int, prob double, sent_id int, "

@@ -34,18 +34,16 @@ from information_extraction_t5_spark.operators.canonicalize import (
     canonical_entities,
 )
 from information_extraction_t5_spark.operators.extraction import (
-    expand_questions,
-    registry_df,
     run_extraction,
+    run_extraction_from_documents,
 )
 from information_extraction_t5_spark.operators.linking import (
     alias_df,
     link_aliases,
 )
 from information_extraction_t5_spark.operators.postprocess import (
-    explode_compound,
+    best_to_triples,
     ground_spans,
-    to_triples,
     top1_window,
 )
 from information_extraction_t5_spark.operators.windows import (
@@ -62,6 +60,7 @@ class PipelineConfig:
     ))
     extractor: str = "regex"
     model_name: Optional[str] = None
+    model_cost_ms: float = 0.0   # emulated per-window model latency (bench)
     link_predicates: List[str] = field(
         default_factory=lambda: ["form.endereco.estado"]
     )
@@ -69,31 +68,43 @@ class PipelineConfig:
     subj_buckets: int = 64        # subj-hash write partitioning
 
 
+def build_windows(transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """transcripts -> (conv_id, window_id, window_text, window_offset)."""
+    docs = assemble_documents(transcripts)
+    return sliding_windows_exact(docs, cfg.window)
+
+
 def extract_candidates(spark: SparkSession, transcripts: DataFrame,
                        cfg: PipelineConfig) -> DataFrame:
-    """transcripts -> scored per-window predictions (pre-top-1)."""
+    """transcripts -> scored per-window predictions (pre-top-1).
+
+    Fused assembly->windows->extraction: window text never materializes as
+    a Spark column (one Arrow crossing per document)."""
     docs = assemble_documents(transcripts)
-    windows = sliding_windows_exact(docs, cfg.window)
-    qa = expand_questions(windows, registry_df(spark))
-    return run_extraction(qa, extractor=cfg.extractor,
-                          model_name=cfg.model_name)
+    return run_extraction_from_documents(
+        docs, cfg.window,
+        extractor=cfg.extractor, model_name=cfg.model_name,
+        model_cost_ms=cfg.model_cost_ms,
+    )
 
 
 def candidates_to_triples(scored: DataFrame, cfg: PipelineConfig,
-                          spark: SparkSession) -> DataFrame:
-    """scored predictions -> linked candidate triples."""
-    best = top1_window(scored, use_fewer_na=True)
-    # labels are unknown at inference: reuse predictions as the label slot
-    # (the explode kernel aligns label/pred typenames; identical here)
-    exploded = explode_compound(
-        best.withColumn("label", F.col("prediction")),
-        label_col="label", pred_col="prediction",
-        doc_col="conv_id", example_col="qa_id",
-        prob_col="prob", window_col="window_id",
-    )
-    triples = to_triples(exploded)
+                          spark: SparkSession,
+                          windows: Optional[DataFrame] = None) -> DataFrame:
+    """scored predictions -> linked candidate triples.
+
+    ``scored`` carries ids + predictions only — window payloads never ride
+    the top-1 shuffle; span grounding rejoins them from ``windows`` by
+    (conv_id, window_id)."""
+    slim = scored.select("conv_id", "qa_id", "window_id", "prediction", "prob")
+    best = top1_window(slim, use_fewer_na=True)
+    # fused explode+triple kernel: one Arrow crossing (the standalone
+    # explode_compound/to_triples operators serve the metric/eval paths)
+    triples = best_to_triples(best)
     if cfg.ground:
-        wtexts = best.select("conv_id", "window_id", "window_text")
+        if windows is None:
+            raise ValueError("span grounding needs the windows DataFrame")
+        wtexts = windows.select("conv_id", "window_id", "window_text")
         triples = ground_spans(
             triples.join(wtexts, ["conv_id", "window_id"], "left")
         )
@@ -146,18 +157,44 @@ def run_pipeline(
     cfg = cfg or PipelineConfig()
 
     if catalog is None:
-        scored = extract_candidates(spark, transcripts, cfg)
-        triples = candidates_to_triples(scored, cfg, spark)
+        # no snapshot store: still cut lineage between stages so the
+        # extraction UDF runs exactly once (downstream actions + the
+        # connected-components loop would otherwise recompute it)
+        windows = None
+        if cfg.ground:
+            windows = build_windows(transcripts, cfg).localCheckpoint()
+            scored = run_extraction(
+                windows, extractor=cfg.extractor, model_name=cfg.model_name,
+                model_cost_ms=cfg.model_cost_ms,
+            ).localCheckpoint()
+        else:
+            scored = extract_candidates(
+                spark, transcripts, cfg
+            ).localCheckpoint()
+        triples = candidates_to_triples(
+            scored, cfg, spark, windows=windows
+        ).localCheckpoint()
         return canonicalize_subjects(triples)
 
-    scored = catalog.stage(
-        "stage_extract",
-        lambda: extract_candidates(spark, transcripts, cfg),
-        partition_by=None,
-    )
+    windows = None
+    if cfg.ground:
+        windows = catalog.stage(
+            "stage_windows", lambda: build_windows(transcripts, cfg)
+        )
+        scored = catalog.stage(
+            "stage_extract",
+            lambda: run_extraction(windows, extractor=cfg.extractor,
+                                   model_name=cfg.model_name,
+                                   model_cost_ms=cfg.model_cost_ms),
+        )
+    else:
+        scored = catalog.stage(
+            "stage_extract",
+            lambda: extract_candidates(spark, transcripts, cfg),
+        )
     triples = catalog.stage(
         "stage_triples",
-        lambda: candidates_to_triples(scored, cfg, spark),
+        lambda: candidates_to_triples(scored, cfg, spark, windows=windows),
     )
     final = catalog.stage(
         "stage_canonical",
