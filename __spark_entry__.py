@@ -665,7 +665,144 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).filter(F.col("cos") >= 0.9)
     q["cosine_dup_pairs"] = cosine_dup_pairs
 
+    def txt_report_lines(spark, sf):
+        # TXT report sink (reference: qa_model.py:351-386): formatted lines
+        c = _t(spark, sf, "customer")
+        return c.select(
+            "c_custkey",
+            F.format_string(
+                "%s | [Segmento]: %s | saldo=%.2f",
+                F.col("c_name"), F.col("c_mktsegment"), F.col("c_acctbal"),
+            ).alias("line"),
+        )
+    q["txt_report_lines"] = txt_report_lines
+
+    def mispredictions(spark, sf):
+        # mis-prediction filter (reference: qa_model.py:367,383)
+        d = _t(spark, sf, "documents")
+        gold = F.substring("text", 1, 40)
+        pred = F.regexp_replace(F.substring("text", 1, 40), "the", "a")
+        return (
+            d.select("doc_id", gold.alias("gold"), pred.alias("pred"))
+            .filter(F.col("gold") != F.col("pred"))
+        )
+    q["mispredictions"] = mispredictions
+
+    def group_key_explode(spark, sf):
+        # metric group-key derivation (reference group_qas,
+        # postprocess.py:16-70) as pure SQL: project + self + _N-stripped
+        c = _t(spark, sf, "customer")
+        ex_id = F.concat(
+            F.lit("seg."), F.lower("c_mktsegment"), F.lit("_"),
+            (F.col("c_custkey") % 3).cast("string"),
+        )
+        keys = F.array(
+            F.lit("seg"),
+            ex_id,
+            F.regexp_replace(ex_id, r"_[0-9]+$", ""),
+        )
+        return c.select(
+            "c_custkey", F.explode(keys).alias("group_key")
+        )
+    q["group_key_explode"] = group_key_explode
+
+    def fuzzy_name_pairs(spark, sf):
+        # levenshtein-bounded similarity join (reference fuzzy matching,
+        # highlights.py:109-174) on a blocked candidate set
+        c = _t(spark, sf, "customer").filter(F.col("c_custkey") < 120)
+        a = c.select(F.col("c_custkey").alias("id_a"),
+                     F.col("c_name").alias("name_a"))
+        b = c.select(F.col("c_custkey").alias("id_b"),
+                     F.col("c_name").alias("name_b"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= 2)
+            .select("id_a", "id_b", F.col("dist").cast("bigint").alias("dist"))
+        )
+    q["fuzzy_name_pairs"] = fuzzy_name_pairs
+
+    def user_sessions(spark, sf):
+        # batch sessionization: session_window over event times per user
+        # (streaming analogue; gap 10 minutes)
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.session_window("ts", "10 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                "n_events",
+            )
+        )
+    q["user_sessions"] = user_sessions
+
+    def last_login_asof(spark, sf):
+        # as-of semantics as a window expression: latest 'login' at or
+        # before each event, per user
+        ev = _t(spark, sf, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return ev.select(
+            "event_id", "user_id",
+            F.max(
+                F.when(F.col("event_type") == "login", F.col("ts"))
+            ).over(w).alias("last_login_ts"),
+        )
+    q["last_login_asof"] = last_login_asof
+
+    def events_5min_rolling(spark, sf):
+        # rolling range frame: events in the trailing 5 minutes per user
+        ev = _t(spark, sf, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(
+                F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
+                / 1e6
+            )
+            .rangeBetween(-300, 0)
+        )
+        return ev.select(
+            "event_id", "user_id",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_5m"),
+        )
+    q["events_5min_rolling"] = events_5min_rolling
+
     # ---- KG pipeline (non-SQL-expressible: rows-only checks) ----
+
+    def kg_asof_join(spark, sf):
+        # the asof_join operator itself (union + carry-forward window);
+        # oracle checked via the window-expression form in last_login_asof
+        from information_extraction_t5_spark.operators.joins import asof_join
+        ev = _t(spark, sf, "events")
+        logins = ev.filter(F.col("event_type") == "login").select(
+            "user_id", "ts", F.col("event_id").alias("login_event_id")
+        )
+        return asof_join(
+            ev.select("event_id", "user_id", "ts"), logins,
+            on="user_id", right_cols=["login_event_id"], suffix="",
+        )
+    q["kg_asof_join"] = kg_asof_join
+
+    def kg_range_join(spark, sf):
+        from information_extraction_t5_spark.operators.joins import (
+            range_join,
+        )
+        ev = _t(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        )
+        return range_join(
+            purchases.select("event_id", "user_id", "ts"), errors,
+            on="user_id", lower_seconds=0, upper_seconds=7200,
+        )
+    q["kg_range_join"] = kg_range_join
 
     def kg_eval_rollup(spark, sf):
         # exact/F1 eval of pipeline predictions vs planted goldens, rolled
@@ -1226,6 +1363,111 @@ def oracle_sql() -> dict[str, str]:
                    6) as cos
           from v a join v b on a.vec_id < b.vec_id)
         select id_a, id_b, cos from scored where cos >= 0.9
+    """
+
+    o["txt_report_lines"] = """
+        select c_custkey,
+               printf('%s | [Segmento]: %s | saldo=%.2f',
+                      c_name, c_mktsegment, c_acctbal) as line
+        from customer
+    """
+
+    o["mispredictions"] = """
+        with p as (
+          select doc_id, substring(text, 1, 40) as gold,
+                 regexp_replace(substring(text, 1, 40), 'the', 'a', 'g')
+                   as pred
+          from documents)
+        select doc_id, gold, pred from p where gold != pred
+    """
+
+    o["group_key_explode"] = """
+        with e as (
+          select c_custkey,
+                 'seg.' || lower(c_mktsegment) || '_'
+                   || cast(c_custkey % 3 as varchar) as ex_id
+          from customer)
+        select c_custkey, u.group_key
+        from e, lateral unnest([
+          'seg', ex_id, regexp_replace(ex_id, '_[0-9]+$', '')
+        ]) as u(group_key)
+    """
+
+    o["fuzzy_name_pairs"] = """
+        select a.c_custkey as id_a, b.c_custkey as id_b,
+               cast(levenshtein(a.c_name, b.c_name) as bigint) as dist
+        from (select * from customer where c_custkey < 120) a
+        join (select * from customer where c_custkey < 120) b
+          on a.c_custkey < b.c_custkey
+        where levenshtein(a.c_name, b.c_name) <= 2
+    """
+
+    o["user_sessions"] = """
+        with s as (
+          select user_id, ts,
+                 case when ts - lag(ts) over (partition by user_id
+                                              order by ts, event_id)
+                        >= interval 600 second
+                      or lag(ts) over (partition by user_id
+                                       order by ts, event_id) is null
+                      then 1 else 0 end as new_session
+          from events),
+        g as (
+          select user_id, ts,
+                 sum(new_session) over (partition by user_id
+                                        order by ts
+                   rows between unbounded preceding and current row)
+                   as session_id
+          from s)
+        select user_id, min(ts) as session_start,
+               cast(count(*) as bigint) as n_events
+        from g group by user_id, session_id
+    """
+
+    o["last_login_asof"] = """
+        select event_id, user_id,
+               max(case when event_type = 'login' then ts end)
+                 over (partition by user_id order by ts, event_id
+                       rows between unbounded preceding and current row)
+                 as last_login_ts
+        from events
+    """
+
+    o["events_5min_rolling"] = """
+        select event_id, user_id,
+               cast(count(*) over (partition by user_id
+                 order by cast(epoch_us(ts) as double) / 1e6
+                 range between 300 preceding and current row) as bigint)
+                 as n_trailing_5m
+        from events
+    """
+
+    o["kg_asof_join"] = """
+        with u as (
+          select user_id, ts, 1 as side, event_id,
+                 cast(NULL as bigint) as login_event_id
+          from events
+          union all
+          select user_id, ts, 0 as side, cast(NULL as bigint), event_id
+          from events where event_type = 'login')
+        select event_id, user_id, ts,
+               last_value(login_event_id ignore nulls)
+                 over (partition by user_id order by ts, side
+                       rows between unbounded preceding and current row)
+                 as login_event_id
+        from u qualify side = 1
+    """
+
+    o["kg_range_join"] = """
+        with p as (select event_id, user_id, ts from events
+              where event_type = 'purchase'),
+        e as (select event_id, user_id, ts from events
+              where event_type = 'error')
+        select p.event_id, p.user_id, p.ts,
+               e.event_id as r_event_id, e.user_id as r_user_id,
+               e.ts as r_ts
+        from p join e on e.user_id = p.user_id
+         and e.ts >= p.ts and e.ts <= p.ts + interval 7200 second
     """
 
     o["events_hourly"] = """
