@@ -804,6 +804,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["kg_range_join"] = kg_range_join
 
+    def kg_token_windows(spark, sf):
+        # token-budgeted sliding windows (reference windows_token mode,
+        # context.py:296-341) with the deterministic tokenizer stand-in
+        from information_extraction_t5_spark.data import synth
+        from information_extraction_t5_spark.operators.windows import (
+            assemble_documents,
+            sliding_windows_token_exact,
+        )
+        docs = assemble_documents(synth.transcripts_df(spark, 40))
+        return sliding_windows_token_exact(
+            docs, max_tokens=120, window_overlap=0.2, max_windows=6,
+            question="Qual o endereço?", use_sentence_id=True,
+        )
+    q["kg_token_windows"] = kg_token_windows
+
     def kg_eval_rollup(spark, sf):
         # exact/F1 eval of pipeline predictions vs planted goldens, rolled
         # up by metric group keys (reference: metrics.py:104-131 +

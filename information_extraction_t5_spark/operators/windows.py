@@ -91,6 +91,54 @@ def sliding_windows_exact(
     )
 
 
+def sliding_windows_token_exact(
+    documents: DataFrame,
+    max_tokens: int = 512,
+    window_overlap: float = 0.5,
+    max_windows: int = 3,
+    question: str = "Qual?",
+    use_sentence_id: bool = False,
+    tokenizer_name: Optional[str] = None,
+) -> DataFrame:
+    """Token-budgeted sliding windows (reference windows_token mode,
+    context.py:296-341) via mapInPandas.
+
+    tokenizer_name loads a HuggingFace tokenizer once per worker (the
+    production path); None uses the deterministic regex tokenizer so tests
+    run without model downloads (SURVEY §7 hard part 3).
+    """
+    from information_extraction_t5_spark.core.windows import (
+        default_token_spans,
+        hf_token_spans,
+        sliding_windows_token,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if tokenizer_name:
+            from transformers import AutoTokenizer  # gated: not in sandbox
+
+            tok = hf_token_spans(AutoTokenizer.from_pretrained(tokenizer_name))
+        else:
+            tok = default_token_spans
+        for pdf in batches:
+            out = {"conv_id": [], "window_id": [], "window_text": [],
+                   "window_offset": []}
+            for cid, text in zip(pdf["conv_id"], pdf["text"]):
+                for w in sliding_windows_token(
+                    text or "", max_tokens, window_overlap, max_windows,
+                    question, use_sentence_id, tokenizer=tok,
+                ):
+                    out["conv_id"].append(cid)
+                    out["window_id"].append(w.window_id)
+                    out["window_text"].append(w.text)
+                    out["window_offset"].append(w.offset)
+            yield pd.DataFrame(out)
+
+    return documents.select("conv_id", "text").mapInPandas(
+        gen, schema=WINDOW_ROW_SCHEMA
+    )
+
+
 def sliding_windows_sql(
     documents: DataFrame,
     window_size: int,
