@@ -804,6 +804,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["kg_range_join"] = kg_range_join
 
+    def salted_join_equivalence(spark, sf):
+        # salted join for hot keys (north rule): same result as the plain
+        # join, checked against the plain-SQL oracle
+        from information_extraction_t5_spark.operators.linking import (
+            salted_join,
+        )
+        c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+        n = _t(spark, sf, "nation").withColumnRenamed(
+            "n_nationkey", "c_nationkey"
+        ).select("c_nationkey", "n_name")
+        return salted_join(c, n, "c_nationkey", salt=8).select(
+            "c_custkey", "n_name"
+        )
+    q["salted_join_equivalence"] = salted_join_equivalence
+
+    def ann_ivf_topk(spark, sf):
+        # IVF-style ANN: coarse cells + n_probe search (rows-only: the
+        # probed cell set is an implementation detail)
+        e = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        cents = sim.seed_centroids(e, n=8)
+        qvec = e.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+        return sim.ivf_topk(e, qvec, cents, k=10, n_probe=3)
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def kg_token_windows(spark, sf):
         # token-budgeted sliding windows (reference windows_token mode,
         # context.py:296-341) with the deterministic tokenizer stand-in
@@ -1483,6 +1509,11 @@ def oracle_sql() -> dict[str, str]:
                e.ts as r_ts
         from p join e on e.user_id = p.user_id
          and e.ts >= p.ts and e.ts <= p.ts + interval 7200 second
+    """
+
+    o["salted_join_equivalence"] = """
+        select c_custkey, n_name
+        from customer c join nation n on c.c_nationkey = n.n_nationkey
     """
 
     o["events_hourly"] = """

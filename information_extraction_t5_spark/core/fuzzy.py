@@ -34,6 +34,41 @@ AREA_UNITS: Dict[str, List[str]] = {
 DIST_SCHEDULE: List[Tuple[int, int]] = [(3, 0), (10, 1), (20, 3), (30, 5)]
 
 
+# accented variants for fuzzy-regex construction (reference:
+# utils/processing.py:37-60)
+_COMPOSITE = {
+    "a": "aáàâã", "e": "eéè", "i": "ií", "o": "oóõ", "u": "uú", "c": "cç",
+}
+
+
+def expand_composite_chars(pattern: str) -> str:
+    """'a' -> '[aáàâã]' etc., so a plain-ASCII term matches its accented
+    surface forms (reference: processing.py:37-60)."""
+    out = []
+    for ch in pattern:
+        low = ch.lower()
+        if low in _COMPOSITE:
+            chars = _COMPOSITE[low]
+            if ch.isupper():
+                chars = chars.upper()
+            out.append(f"[{chars}]")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def fuzzy_or_pattern(terms: List[str], max_edits: int = 1,
+                     expand_accents: bool = True) -> str:
+    """Alternation group over terms, accent-expanded — driver-side pattern
+    builder feeding rlike (reference: processing.py:17-34; the `{e<=k}`
+    fuzzy-regex syntax is library-specific there, so edit tolerance is
+    handled by the Levenshtein path instead)."""
+    body = "|".join(
+        expand_composite_chars(t) if expand_accents else t for t in terms
+    )
+    return f"(?:{body})"
+
+
 def alias_variations(canonical: str) -> List[str]:
     """Surface forms a canonical value may take in raw text
     (reference: highlights.py:50-58)."""

@@ -70,6 +70,73 @@ def knn_join_bruteforce(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: List[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (coarse IVF quantizer).
+
+    Centroids are a small driver-side list (seeded sample or k-means
+    output) evaluated as a pure expression — the assignment is a narrow
+    map, no shuffle.  Partitioning/bucketing the table by ``cell`` then
+    makes probes touch only matching files.
+    """
+    sims = F.array(
+        *[cosine(F.col(vec_col), lit_vector(c)) for c in centroids]
+    )
+    best = F.array_position(sims, F.array_max(sims)) - 1
+    return vectors.withColumn("cell", best.cast("int"))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: Sequence[float],
+    centroids: List[Sequence[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only the vectors in the query's ``n_probe``
+    nearest cells, then exact cosine top-k.  The filter prunes before any
+    wide operation — at scale, with the table partitioned by cell, this is
+    partition pruning."""
+    def cos_py(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den if den else 0.0
+
+    probe_cells = sorted(
+        range(len(centroids)),
+        key=lambda i: -cos_py(query, centroids[i]),
+    )[:n_probe]
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    q = lit_vector(query)
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def seed_centroids(vectors: DataFrame, n: int = 8,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> List[List[float]]:
+    """Deterministic coarse centroids: the n lowest-id vectors (stand-in
+    for a k-means fit; swap in ml.clustering.KMeans offline at scale)."""
+    rows = (
+        vectors.orderBy(F.col(id_col).asc()).limit(n).select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
 def lsh_topk(
     vectors: DataFrame,
     query: Sequence[float],
