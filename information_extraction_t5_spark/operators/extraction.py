@@ -142,7 +142,7 @@ class RegexFormExtractor:
             for i in range(len(lines) - 1):
                 if lines[i].strip() == "Número":
                     m = re.match(
-                        r"^(\d+)(?: Complemento .*)?$", lines[i + 1].strip()
+                        r"^(\d+)(?: Complemento.*)?$", lines[i + 1].strip()
                     )
                     if m:
                         return m.group(1), lo + starts[i + 1], None

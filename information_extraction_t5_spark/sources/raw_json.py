@@ -1,0 +1,115 @@
+"""Reader for the reference's raw document JSON (R1 shape).
+
+The reference stores a dataset as one JSON object keyed by document id,
+each value holding scalar string fields, an optional nested ``endereco``
+dict, and a ``text`` blob (reference: data/file_handling.py:31-51,
+data/raw/sample_train.json).  A user of the reference points this reader at
+the same files and gets the engine's tables:
+
+  - ``documents(doc_id, text, fields map<string,string>,
+      endereco struct<...>)`` — the FIXTURES.md F2 shape;
+  - ``transcripts(conv_id, turn_idx, role, text, tool, ts)`` — the
+    authoritative input shape, one turn per text line (line order is the
+    stable ordering key, so per-turn equality reconstructs the blob).
+
+The top-level dict keying makes this a driver-side parse for one file
+(reference datasets are single JSON files); a directory of files
+parallelizes per file via ``spark.read.text`` + mapInPandas if ever
+needed at scale — raw R1 ingest is a migration path, not the hot path.
+"""
+from __future__ import annotations
+
+import datetime as dt
+import json
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from information_extraction_t5_spark.core.registry import DEFAULT_PREDICATES
+
+ADDRESS_FIELD = "endereco"
+ADDRESS_SUBFIELDS = ["logradouro", "numero", "complemento", "bairro",
+                     "cidade", "estado", "cep"]
+
+DOCUMENTS_SCHEMA = (
+    "doc_id string, text string, fields map<string,string>, "
+    "endereco struct<" + ",".join(f"{c}:string" for c in ADDRESS_SUBFIELDS)
+    + ">"
+)
+
+_EPOCH = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def read_raw_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a reference raw-JSON dataset into the documents table."""
+    with open(path) as f:
+        raw = json.load(f)
+
+    rows = []
+    for doc_id, doc in raw.items():
+        text = doc.get("text", doc.get("texto", ""))
+        fields = {
+            k: v for k, v in doc.items()
+            if isinstance(v, str) and k not in ("text", "texto")
+        }
+        addr = doc.get(ADDRESS_FIELD) or {}
+        endereco = tuple(addr.get(c) for c in ADDRESS_SUBFIELDS)
+        rows.append((str(doc_id), text, fields, endereco))
+
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+
+def documents_to_transcripts(documents: DataFrame) -> DataFrame:
+    """documents -> transcripts: one turn per line, roles alternating,
+    deterministic timestamps.  '\\n'.join(turns by turn_idx) == text."""
+    from pyspark.sql import functions as F
+
+    lines = documents.select(
+        F.col("doc_id").alias("conv_id"),
+        F.posexplode(F.split("text", r"\n", -1)).alias("turn_idx", "text"),
+    )
+    return lines.select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.when(F.col("turn_idx") % 2 == 0, "user")
+        .otherwise("assistant").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        (
+            F.lit(_EPOCH) + F.make_interval(secs=F.col("turn_idx") * 37)
+        ).alias("ts"),
+    )
+
+
+def golden_triples_from_documents(documents: DataFrame) -> DataFrame:
+    """The (conv_id, pred, obj) triples the raw file annotates — scalar
+    fields from the map, address subfields from the struct."""
+    from pyspark.sql import functions as F
+
+    scalar_fields = [
+        p.field for p in DEFAULT_PREDICATES if not p.is_compound
+    ]
+    scalars = (
+        documents.select(
+            F.col("doc_id").alias("conv_id"),
+            F.explode("fields").alias("field", "obj"),
+        )
+        .filter(F.col("field").isin(scalar_fields))
+        .select(
+            "conv_id",
+            F.concat(F.lit("form."), F.col("field")).alias("pred"),
+            "obj",
+        )
+    )
+    addr_cols = [
+        documents.select(
+            F.col("doc_id").alias("conv_id"),
+            F.lit(f"form.endereco.{c}").alias("pred"),
+            F.col(f"endereco.{c}").alias("obj"),
+        )
+        for c in ADDRESS_SUBFIELDS
+    ]
+    addr = addr_cols[0]
+    for a in addr_cols[1:]:
+        addr = addr.unionByName(a)
+    return scalars.unionByName(addr.filter(F.col("obj").isNotNull()))
