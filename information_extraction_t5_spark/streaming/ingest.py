@@ -54,3 +54,65 @@ def sessionized_conversations(
 def stream_transcripts_from_files(spark, path: str, schema: str) -> DataFrame:
     """File-source streaming reader (stand-in for Iceberg/Kafka streams)."""
     return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_pipeline(
+    spark,
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    gap: str = "30 minutes",
+    cfg=None,
+    trigger_available_now: bool = True,
+):
+    """Streaming KG construction: closed sessions -> extraction -> triples,
+    appended per micro-batch via foreachBatch.
+
+    foreachBatch reuses the *batch* operators unchanged (window assembly,
+    fused extraction, top-1, triple building, alias linking) — the
+    streaming layer only decides when a conversation is complete.
+    Canonicalization stays a periodic batch compaction over the appended
+    triples (global connected components are not a per-micro-batch
+    operation).  Returns the StreamingQuery.
+    """
+    from information_extraction_t5_spark.operators.extraction import (
+        run_extraction_from_documents,
+    )
+    from information_extraction_t5_spark.operators.linking import (
+        alias_df,
+        link_aliases,
+    )
+    from information_extraction_t5_spark.operators.postprocess import (
+        best_to_triples,
+        top1_window,
+    )
+    from information_extraction_t5_spark.pipeline import PipelineConfig
+
+    cfg = cfg or PipelineConfig()
+    sessions = sessionized_conversations(stream, gap=gap)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select("conv_id", "text")
+        scored = run_extraction_from_documents(
+            docs, cfg.window, extractor=cfg.extractor,
+            model_name=cfg.model_name, model_cost_ms=cfg.model_cost_ms,
+        )
+        best = top1_window(
+            scored.select("conv_id", "qa_id", "window_id",
+                          "prediction", "prob")
+        )
+        triples = link_aliases(
+            best_to_triples(best), alias_df(batch_df.sparkSession),
+            value_col="obj", out_col="obj",
+            predicates=cfg.link_predicates, pred_col="pred",
+        )
+        triples.write.mode("append").parquet(out_path)
+
+    writer = (
+        sessions.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
