@@ -86,8 +86,21 @@ class Catalog:
         writer.parquet(tmp)
 
         back = self.spark.read.parquet(tmp)
-        rows = back.count()
-        nparts = back.rdd.getNumPartitions()
+        from pyspark.sql import functions as F
+
+        part_counts = [
+            r["n"]
+            for r in back.groupBy(
+                F.spark_partition_id().alias("p")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        rows = sum(part_counts)
+        nparts = max(len(part_counts), 1)
+        skew = {
+            "partition_rows_min": min(part_counts, default=0),
+            "partition_rows_max": max(part_counts, default=0),
+            "partition_rows_mean": round(rows / nparts, 1),
+        }
 
         if mode == "overwrite":
             shutil.rmtree(target, ignore_errors=True)
@@ -109,6 +122,7 @@ class Catalog:
                     "partitions": nparts,
                     "partition_by": partition_by or [],
                     "committed_at": time.time(),
+                    **skew,
                     **commit.extra,
                 },
                 f,

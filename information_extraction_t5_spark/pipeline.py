@@ -162,15 +162,16 @@ def run_pipeline(
         # connected-components loop would otherwise recompute it)
         windows = None
         if cfg.ground:
+            # grounding reuses windows twice -> truncate both lineages
             windows = build_windows(transcripts, cfg).localCheckpoint()
             scored = run_extraction(
                 windows, extractor=cfg.extractor, model_name=cfg.model_name,
                 model_cost_ms=cfg.model_cost_ms,
             ).localCheckpoint()
         else:
-            scored = extract_candidates(
-                spark, transcripts, cfg
-            ).localCheckpoint()
+            # single-consumer lineage: the triples checkpoint below
+            # materializes extraction exactly once — no extra pass here
+            scored = extract_candidates(spark, transcripts, cfg)
         triples = candidates_to_triples(
             scored, cfg, spark, windows=windows
         ).localCheckpoint()

@@ -40,6 +40,10 @@ def get_spark(
         # AQE: runtime coalescing, skew-join splitting, join-strategy switch
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # actually coalesce small shuffles to the advisory size instead of
+        # keeping max parallelism (tiny-task scheduling dominates otherwise)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every pandas UDF / toPandas crossing
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
