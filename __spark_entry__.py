@@ -773,6 +773,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["events_5min_rolling"] = events_5min_rolling
 
+    def time_rollup_multigrain(spark, sf):
+        # hypertable-style multi-granularity rollup: one shuffle for all
+        # grains (vs one aggregation per grain)
+        from information_extraction_t5_spark.operators.rollups import (
+            time_rollup,
+        )
+        ev = _t(spark, sf, "events")
+        return time_rollup(ev, granularities=["hour", "day"])
+    q["time_rollup_multigrain"] = time_rollup_multigrain
+
     # ---- KG pipeline (non-SQL-expressible: rows-only checks) ----
 
     def kg_asof_join(spark, sf):
@@ -1509,6 +1519,20 @@ def oracle_sql() -> dict[str, str]:
                e.ts as r_ts
         from p join e on e.user_id = p.user_id
          and e.ts >= p.ts and e.ts <= p.ts + interval 7200 second
+    """
+
+    o["time_rollup_multigrain"] = """
+        select 'hour' as grain, date_trunc('hour', ts) as bucket_start,
+               cast(count(*) as bigint) as n,
+               round(max(value), 2) as max_value,
+               round(min(value), 2) as min_value
+        from events group by 2
+        union all
+        select 'day' as grain, date_trunc('day', ts) as bucket_start,
+               cast(count(*) as bigint) as n,
+               round(max(value), 2) as max_value,
+               round(min(value), 2) as min_value
+        from events group by 2
     """
 
     o["salted_join_equivalence"] = """

@@ -116,3 +116,22 @@ def stream_pipeline(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_streamed_triples(spark, triples_path: str, catalog,
+                             cfg=None):
+    """Periodic batch compaction over stream-appended triples: global
+    canonicalization (connected components need the full mention graph)
+    + graph materialization.  Run on a schedule or after backfills."""
+    from information_extraction_t5_spark.pipeline import (
+        PipelineConfig,
+        canonicalize_subjects,
+        materialize_graph,
+    )
+
+    cfg = cfg or PipelineConfig()
+    triples = spark.read.parquet(triples_path)
+    final = canonicalize_subjects(triples)
+    catalog.write(final, "stream_canonical")
+    materialize_graph(final, catalog, cfg)
+    return catalog.read("stream_canonical")
