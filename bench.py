@@ -29,8 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# conversations per unit scale factor (sf0.1 -> 3000 convs, ~52k turns)
-CONVS_PER_SF = 30_000
+# conversations per unit scale factor (sf0.1 -> 12000 convs, ~210k turns);
+# sized so per-task work dominates scheduling at local core counts
+CONVS_PER_SF = 120_000
 
 
 def sf_of(sf_dir: str) -> float:
