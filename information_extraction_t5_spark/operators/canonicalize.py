@@ -64,6 +64,95 @@ def connected_components(
     return labels
 
 
+def _symmetric(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Converges in O(log n) rounds on ANY graph shape — min-label
+    propagation needs O(diameter) rounds, which a long mention chain can
+    make linear.  Deterministic: component id = min node id.
+
+      large-star: every neighbor v > u re-points to min(N(u) + {u})
+      small-star: every neighbor v <= u re-points to that minimum
+    """
+    e = _symmetric(edges, src, dst).localCheckpoint(eager=True)
+    nodes = e.select(F.col("a").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+
+    def checksum(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).head()
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        # large-star
+        nbr = e  # symmetric adjacency: rows (a, b) mean b in N(a)
+        m = nbr.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            nbr.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("x"), F.col("m").alias("y"))
+        )
+        e = _symmetric(large, "x", "y").localCheckpoint(eager=True)
+
+        # small-star over neighbors <= u
+        small_adj = e.filter(F.col("b") <= F.col("a"))
+        ms = small_adj.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        small = (
+            small_adj.join(ms, "a")
+            .select(F.col("b").alias("x"), F.col("m").alias("y"))
+            .union(ms.select(F.col("a").alias("x"), F.col("m").alias("y")))
+            .filter(F.col("x") != F.col("y"))
+        )
+        e = _symmetric(small, "x", "y").localCheckpoint(eager=True)
+
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # after convergence every non-root points directly at its root
+    labels = (
+        e.filter(F.col("b") < F.col("a"))
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("component"))
+    )
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
+
+
 def canonical_entities(
     mentions: DataFrame,
     mention_col: str = "conv_id",
@@ -88,7 +177,9 @@ def canonical_entities(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    comps = connected_components(edges)
+    # star contraction: O(log n) rounds on any shape (mention CHAINS across
+    # shared keys would make min-label propagation O(chain length))
+    comps = connected_components_star(edges)
     all_mentions = pairs.select("mention").distinct()
     return (
         all_mentions.join(

@@ -1,0 +1,80 @@
+"""Star-contraction connected components vs union-find ground truth and
+vs the min-label implementation."""
+import random
+
+import pytest
+
+from information_extraction_t5_spark.operators.canonicalize import (
+    canonical_entities,
+    connected_components,
+    connected_components_star,
+)
+
+
+def _truth(edges_py):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges_py:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    comps = {}
+    for n in list(parent):
+        comps.setdefault(find(n), []).append(n)
+    for root, members in comps.items():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+@pytest.mark.parametrize("case", ["path", "random", "mix"])
+def test_star_cc_matches_union_find(spark, case):
+    if case == "path":
+        edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(60)]
+    elif case == "random":
+        r = random.Random(5)
+        edges = [
+            (f"v{r.randint(0, 199):03d}", f"v{r.randint(0, 199):03d}")
+            for _ in range(150)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+    else:
+        edges = [("a", "hub"), ("b", "hub"), ("c", "hub"),
+                 ("x1", "x2"), ("x2", "x3"), ("x3", "x4"), ("q", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(df).collect()}
+    assert got == _truth(edges)
+
+
+def test_star_and_minlabel_agree_on_shallow_graph(spark):
+    edges = [("m1", "m2"), ("m2", "m3"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r["node"]: r["component"]
+         for r in connected_components_star(df).collect()}
+    b = {r["node"]: r["component"]
+         for r in connected_components(df).collect()}
+    assert a == b == _truth(edges)
+
+
+def test_canonical_entities_chain_across_keys(spark):
+    """A->k1<-B->k2<-C->k3<-D: a 4-mention chain through 3 shared keys
+    must collapse to one entity (the adversarial case for min-label)."""
+    mentions = spark.createDataFrame(
+        [("A", "k1"), ("B", "k1"), ("B", "k2"), ("C", "k2"),
+         ("C", "k3"), ("D", "k3"), ("E", "k9")],
+        "conv_id string, mention_key string",
+    )
+    got = {r["mention"]: r["canonical_id"]
+           for r in canonical_entities(mentions).collect()}
+    assert got["A"] == got["B"] == got["C"] == got["D"] == "A"
+    assert got["E"] == "E"
