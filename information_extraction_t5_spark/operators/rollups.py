@@ -78,6 +78,19 @@ def write_bucketed(
     the local-metastore equivalent of Iceberg's bucket partition
     transform.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a dropped-from-metastore table can leave its managed location behind
+    # (fresh in-memory catalogs don't know about old runs); clear it
+    try:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = urlparse(warehouse).path or warehouse
+        shutil.rmtree(f"{loc}/{table.lower()}", ignore_errors=True)
+    except Exception:
+        pass
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
