@@ -416,6 +416,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["language_guess"] = language_guess
 
+    def language_guess_ngram(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id", ts.language_id_ngram(F.col("text")).alias("lang_ngram")
+        )
+    q["language_guess_ngram"] = language_guess_ngram
+
     def fingerprint_dup_groups(spark, sf):
         return dd.exact_dup_groups(
             _t(spark, sf, "documents"), "doc_id", "text"
@@ -1195,6 +1202,38 @@ def oracle_sql() -> dict[str, str]:
                     when en = greatest(en, pt, es) then 'en'
                     when pt = greatest(en, pt, es) then 'pt'
                     else 'es' end as lang_guess
+        from r
+    """
+
+    _tg = ("list_transform(generate_series(1, greatest(length(' ' || "
+           "lower(text) || ' ') - 2, 1)), i -> substring(' ' || lower(text)"
+           " || ' ', i, 3))")
+
+    def _tgscore(words: str) -> str:
+        return (
+            f"case when len({_tg}) = 0 then 0.0 else "
+            f"cast(len(list_filter({_tg}, t -> list_contains({words}, t)))"
+            f" as double) / len({_tg}) end"
+        )
+
+    _tg_en = _tgscore(
+        "[' th','the','he ',' of','of ','ing','nd ',' an','and',' to',"
+        "'to ',' in','ion',' is','is ']")
+    _tg_pt = _tgscore(
+        "[' de','de ',' qu','que','ue ',' co','ção','ão ',' pa','ara',"
+        "' um','um ',' na','os ','da ']")
+    _tg_es = _tgscore(
+        "[' de','de ',' la','la ',' el','el ','os ',' en','en ','ión',"
+        "' po','por',' un','una','as ']")
+    o["language_guess_ngram"] = f"""
+        with r as (
+          select doc_id, {_tg_en} as en, {_tg_pt} as pt, {_tg_es} as es
+          from documents)
+        select doc_id,
+               case when greatest(en, pt, es) = 0 then 'und'
+                    when en = greatest(en, pt, es) then 'en'
+                    when pt = greatest(en, pt, es) then 'pt'
+                    else 'es' end as lang_ngram
         from r
     """
 

@@ -90,6 +90,48 @@ def decode_real(payload: bytes, kind: str) -> list:
     )
 
 
+def image_resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving resize targets from typed metadata — pure
+    expressions; the decode+resample itself is the stubbed codec stage."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(
+        F.lit(float(max_side)) / w, F.lit(float(max_side)) / h, F.lit(1.0)
+    )
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "meta",
+        F.round(w * scale).cast("int").alias("target_w"),
+        F.round(h * scale).cast("int").alias("target_h"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000,
+                     overlap_ms: int = 500) -> DataFrame:
+    """Overlapping audio chunk boundaries (the ASR-feed shape): one row per
+    planned chunk, bounded by duration."""
+    stride = max(chunk_ms - overlap_ms, 1)
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                    F.lit(stride),
+                )
+            ).alias("chunk_idx", "chunk_start_ms"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        )
+        .withColumn(
+            "chunk_end_ms",
+            F.least(
+                F.col("chunk_start_ms") + chunk_ms, F.col("duration_ms")
+            ),
+        )
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Expression-side frame-sampling plan for videos: one row per planned
     frame timestamp (the decode itself is the stubbed stage)."""

@@ -125,6 +125,41 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Lloyd's k-means as DataFrame ops (deterministic seeding).
+
+    Assignment is a narrow expression (ivf_assign); the update step is one
+    aggregation: explode (cell, dim, value) -> groupBy(cell, dim).avg.
+    Only the k x dim centroid matrix ever reaches the driver — the
+    vectors stay distributed.  Empty cells keep their previous centroid.
+    """
+    cents = seed_centroids(vectors, k, id_col, vec_col)
+    dim = len(cents[0]) if cents else 0
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, cents, id_col, vec_col)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("dim", "v")
+            )
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        touched = set()
+        for r in means:
+            new[r["cell"]][r["dim"]] = float(r["m"])
+            touched.add(r["cell"])
+        cents = new
+    return cents
+
+
 def seed_centroids(vectors: DataFrame, n: int = 8,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> List[List[float]]:

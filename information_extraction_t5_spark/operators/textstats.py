@@ -58,6 +58,51 @@ def language_id(col: Column) -> Column:
     )
 
 
+# Distinctive character trigrams per language (hand-picked from common
+# function words; the n-gram profile method of Cavnar & Trenkle, reduced
+# to a literal table so scoring is a pure expression).
+LANG_TRIGRAMS = {
+    "en": [" th", "the", "he ", " of", "of ", "ing", "nd ", " an", "and",
+           " to", "to ", " in", "ion", " is", "is "],
+    "pt": [" de", "de ", " qu", "que", "ue ", " co", "ção", "ão ", " pa",
+           "ara", " um", "um ", " na", "os ", "da "],
+    "es": [" de", "de ", " la", "la ", " el", "el ", "os ", " en", "en ",
+           "ión", " po", "por", " un", "una", "as "],
+}
+
+
+def char_trigrams(col: Column) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    n = F.greatest(F.length(padded) - 2, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(padded, i, 3)
+    )
+
+
+def trigram_score(col: Column, lang: str) -> Column:
+    """Fraction of the text's trigrams found in the language profile."""
+    tg = char_trigrams(col)
+    hits = F.size(F.filter(tg, lambda t: t.isin(*LANG_TRIGRAMS[lang])))
+    return F.when(F.size(tg) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(tg)
+    )
+
+
+def language_id_ngram(col: Column) -> Column:
+    """Argmax over trigram-profile scores (n-gram heuristic LID), 'und'
+    when nothing matches.  Tie order: en, pt, es — mirrors language_id."""
+    en = trigram_score(col, "en")
+    pt = trigram_score(col, "pt")
+    es = trigram_score(col, "es")
+    best = F.greatest(en, pt, es)
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(pt == best, F.lit("pt"))
+        .otherwise(F.lit("es"))
+    )
+
+
 def punct_ratio(col: Column) -> Column:
     total = F.length(col)
     punct = F.length(col) - F.length(

@@ -1,0 +1,72 @@
+"""k-means IVF, n-gram LID, multimodal plans."""
+import numpy as np
+from pyspark.sql import functions as F
+
+from information_extraction_t5_spark.operators import multimodal as mm
+from information_extraction_t5_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    kmeans_fit,
+)
+from information_extraction_t5_spark.operators.textstats import (
+    language_id_ngram,
+)
+
+
+def test_kmeans_separable_clusters_and_ivf_recall(spark):
+    rng = np.random.RandomState(1)
+    vecs = np.vstack([rng.rand(40, 6) + 4.0, rng.rand(40, 6) - 4.0])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = kmeans_fit(df, k=2, iters=4)
+    cells = {r["vec_id"]: r["cell"]
+             for r in ivf_assign(df, cents).collect()}
+    g1 = {cells[i] for i in range(40)}
+    g2 = {cells[i] for i in range(40, 80)}
+    assert len(g1) == len(g2) == 1 and g1.isdisjoint(g2)
+
+    qv = [float(x) for x in vecs[5]]
+    approx = [r["vec_id"]
+              for r in ivf_topk(df, qv, cents, k=5, n_probe=1).collect()]
+    exact = [r["vec_id"] for r in brute_force_topk(df, qv, k=5).collect()]
+    assert approx == exact  # 1 probe suffices on separable clusters
+
+
+def test_language_id_ngram(spark):
+    rows = [
+        ("en", "the cat is in the house and the dog is of the street"),
+        ("pt", "que a proposta de abertura de conta para um cliente"),
+        ("es", "el banco de la ciudad en una de las calles por el centro"),
+        ("und", "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "expected string, text string")
+    got = df.select(
+        "expected", language_id_ngram(F.col("text")).alias("lang")
+    ).collect()
+    for r in got:
+        assert r["lang"] == r["expected"], (r["expected"], r["lang"])
+
+
+def test_multimodal_plans(spark):
+    media = mm.synthetic_media_df(spark, n=24)
+    resize = mm.image_resize_plan(media, max_side=128).collect()
+    assert resize
+    for r in resize:
+        assert max(r["target_w"], r["target_h"]) <= 128
+        ar_in = r["meta"]["width"] / r["meta"]["height"]
+        ar_out = r["target_w"] / r["target_h"]
+        assert abs(ar_in - ar_out) / ar_in < 0.05  # aspect preserved
+
+    chunks = mm.audio_chunk_plan(media, chunk_ms=400, overlap_ms=100)
+    pdf = chunks.toPandas()
+    assert (pdf["chunk_end_ms"] <= pdf["duration_ms"]).all()
+    # consecutive chunks overlap by ~100ms
+    one = pdf[pdf["media_id"] == pdf["media_id"].iloc[0]].sort_values(
+        "chunk_idx"
+    )
+    if len(one) > 1:
+        starts = one["chunk_start_ms"].tolist()
+        assert all(b - a == 300 for a, b in zip(starts, starts[1:]))
