@@ -157,13 +157,15 @@ def canonical_entities(
     mentions: DataFrame,
     mention_col: str = "conv_id",
     key_col: str = "mention_key",
+    extra_edges: DataFrame = None,
 ) -> DataFrame:
     """(mention, canonical_id): mentions sharing any key are one entity.
 
     Builds the bipartite mention-key edges, collapses keys to their min
     mention (one shuffle), then runs components on the mention-mention
     projection.  Keys are blocking keys (exact cpf, normalized name,
-    LSH bucket, ...) produced upstream.
+    LSH bucket, ...) produced upstream.  ``extra_edges`` (src, dst) adds
+    direct mention-mention links (e.g. fuzzy-matched names).
     """
     pairs = mentions.select(
         F.col(mention_col).alias("mention"), F.col(key_col).alias("key")
@@ -177,10 +179,23 @@ def canonical_entities(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    if extra_edges is not None:
+        edges = edges.unionByName(
+            extra_edges.select(
+                F.col("src").cast("string").alias("src"),
+                F.col("dst").cast("string").alias("dst"),
+            )
+        )
     # star contraction: O(log n) rounds on any shape (mention CHAINS across
     # shared keys would make min-label propagation O(chain length))
     comps = connected_components_star(edges)
     all_mentions = pairs.select("mention").distinct()
+    if extra_edges is not None:
+        all_mentions = (
+            all_mentions.union(extra_edges.select(F.col("src")))
+            .union(extra_edges.select(F.col("dst")))
+            .distinct()
+        )
     return (
         all_mentions.join(
             comps.withColumnRenamed("node", "mention"), "mention", "left"

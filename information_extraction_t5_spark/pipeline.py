@@ -65,6 +65,8 @@ class PipelineConfig:
         default_factory=lambda: ["form.endereco.estado"]
     )
     ground: bool = False          # fuzzy span grounding (extra Arrow stage)
+    fuzzy_link: bool = True       # LSH-blocked fuzzy name linking
+    fuzzy_link_max_dist: int = 3  # levenshtein budget for blocked pairs
     subj_buckets: int = 64        # subj-hash write partitioning
 
 
@@ -115,13 +117,44 @@ def candidates_to_triples(scored: DataFrame, cfg: PipelineConfig,
     )
 
 
-def canonicalize_subjects(triples: DataFrame) -> DataFrame:
+def fuzzy_name_edges(triples: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Extra mention-mention edges from NEAR-duplicate person names.
+
+    The scale-safe fuzzy path of the north star: minhash-LSH blocking over
+    normalized names generates candidate pairs (equi-join on band buckets,
+    never all-pairs), then an exact Levenshtein re-rank keeps pairs within
+    the reference's distance budget (highlights.py:96-106 schedule's
+    ceiling).  Output: (src, dst) conversation pairs.
+    """
+    from information_extraction_t5_spark.operators.linking import (
+        levenshtein_rerank,
+        lsh_candidate_pairs,
+    )
+
+    names = (
+        triples.filter(F.col("pred") == "form.nome_completo")
+        .select(
+            F.col("conv_id").alias("id"),
+            normalize_answer(F.col("obj")).alias("name"),
+        )
+        .distinct()
+    )
+    cand = lsh_candidate_pairs(names, "id", "name",
+                               n_hashes=16, bands=8, k=3)
+    kept = levenshtein_rerank(cand, names, "id", "name", max_dist=max_dist)
+    return kept.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+
+def canonicalize_subjects(triples: DataFrame,
+                          cfg: Optional[PipelineConfig] = None) -> DataFrame:
     """Attach canonical subject entity ids.
 
     Mentions = conversations; blocking keys = exact CPF + normalized full
-    name (the linkable person identifiers among extracted triples).  Convs
-    sharing a key collapse to one entity; subj = 'ent:' + min conv_id.
+    name; optionally LSH-blocked near-duplicate names add fuzzy edges.
+    Convs in one component collapse to one entity;
+    subj = 'ent:' + min conv_id.
     """
+    cfg = cfg or PipelineConfig()
     keys = (
         triples.filter(F.col("pred").isin("form.cpf", "form.nome_completo"))
         .select(
@@ -131,7 +164,12 @@ def canonicalize_subjects(triples: DataFrame) -> DataFrame:
             ).alias("mention_key"),
         )
     )
-    mapping = canonical_entities(keys, "conv_id", "mention_key")
+    extra = (
+        fuzzy_name_edges(triples, cfg.fuzzy_link_max_dist)
+        if cfg.fuzzy_link else None
+    )
+    mapping = canonical_entities(keys, "conv_id", "mention_key",
+                                 extra_edges=extra)
     return (
         triples.join(
             mapping.withColumnRenamed("mention", "conv_id"), "conv_id", "left"
@@ -175,7 +213,7 @@ def run_pipeline(
         triples = candidates_to_triples(
             scored, cfg, spark, windows=windows
         ).localCheckpoint()
-        return canonicalize_subjects(triples)
+        return canonicalize_subjects(triples, cfg)
 
     windows = None
     if cfg.ground:
@@ -199,7 +237,7 @@ def run_pipeline(
     )
     final = catalog.stage(
         "stage_canonical",
-        lambda: canonicalize_subjects(triples),
+        lambda: canonicalize_subjects(triples, cfg),
     )
     materialize_graph(final, catalog, cfg)
     return final

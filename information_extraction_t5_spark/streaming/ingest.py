@@ -131,7 +131,7 @@ def compact_streamed_triples(spark, triples_path: str, catalog,
 
     cfg = cfg or PipelineConfig()
     triples = spark.read.parquet(triples_path)
-    final = canonicalize_subjects(triples)
+    final = canonicalize_subjects(triples, cfg)
     catalog.write(final, "stream_canonical")
     materialize_graph(final, catalog, cfg)
     return catalog.read("stream_canonical")
