@@ -25,11 +25,23 @@ from information_extraction_t5_spark.core.fuzzy import STATE_NAMES
 
 FIRST = ["ANA", "BRUNO", "CARLA", "DIOGO", "ELISA", "FABIO", "GILDA",
          "HUGO", "IARA", "JOAO", "KARLA", "LUCAS", "MARIA", "NELSON",
-         "OLIVIA", "PAULO", "QUITERIA", "RAFAEL", "SILVIA", "TIAGO"]
+         "OLIVIA", "PAULO", "QUITERIA", "RAFAEL", "SILVIA", "TIAGO",
+         "URSULA", "VICTOR", "WAGNER", "XIMENA", "YARA", "ZELIA",
+         "ADRIANO", "BEATRIZ", "CLAUDIO", "DANIELA", "EDUARDO",
+         "FERNANDA", "GUSTAVO", "HELENA", "IGOR", "JULIANA",
+         "LEONARDO", "MARIANA", "NATALIA", "OTAVIO"]
 MIDDLE = ["MADALENA", "AUGUSTO", "TRINDADE", "COSTA", "MOREIRA", "SILVEIRA",
-          "PEREIRA", "SOUZA", "LIMA", "ROCHA", "TEIXEIRA", "CARDOSO"]
+          "PEREIRA", "SOUZA", "LIMA", "ROCHA", "TEIXEIRA", "CARDOSO",
+          "BATISTA", "CAMPOS", "DUARTE", "ESTEVES", "FONSECA", "GUIMARAES",
+          "HENRIQUES", "IGLESIAS", "JUSTINO", "LACERDA", "MONTEIRO",
+          "NOGUEIRA", "OSORIO", "PACHECO", "QUEIROZ", "REZENDE",
+          "SAMPAIO", "TAVARES"]
 LAST = ["ALVES", "SILVA", "SANTOS", "OLIVEIRA", "FERREIRA", "RODRIGUES",
-        "GOMES", "MARTINS", "ARAUJO", "BARBOSA", "RIBEIRO", "CARVALHO"]
+        "GOMES", "MARTINS", "ARAUJO", "BARBOSA", "RIBEIRO", "CARVALHO",
+        "DOMINGUES", "ESPINOSA", "FIGUEIREDO", "GONCALVES", "HOLANDA",
+        "ITABORAI", "JACINTO", "LOUREIRO", "MASCARENHAS", "NEVES",
+        "OTTONI", "PIMENTEL", "QUINTANA", "REIS", "SIQUEIRA",
+        "TOLENTINO", "VASCONCELOS", "XAVIER"]
 STREETS = ["CRESCENCIO LISBOA", "ANDERSON TEIXEIRA", "PEDRO BIAGI",
            "REGENTE FEIJO", "ALBERT EINSTEIN", "SETE DE SETEMBRO",
            "DAS FLORES", "SANTOS DUMONT", "BARAO DE ITAPURA"]

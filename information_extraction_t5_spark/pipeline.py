@@ -66,7 +66,9 @@ class PipelineConfig:
     )
     ground: bool = False          # fuzzy span grounding (extra Arrow stage)
     fuzzy_link: bool = True       # LSH-blocked fuzzy name linking
-    fuzzy_link_max_dist: int = 3  # levenshtein budget for blocked pairs
+    fuzzy_link_max_dist: int = 2  # levenshtein budget for blocked pairs
+    # (identity matching is stricter than span matching; the reference's
+    # span schedule allows 5 edits for long strings, highlights.py:96-106)
     subj_buckets: int = 64        # subj-hash write partitioning
 
 
@@ -131,17 +133,29 @@ def fuzzy_name_edges(triples: DataFrame, max_dist: int = 3) -> DataFrame:
         lsh_candidate_pairs,
     )
 
-    names = (
+    # one representative conv per DISTINCT normalized name: exact-equal
+    # names already merge through the exact mention key, so the fuzzy
+    # stage only needs edges between distinct surface forms — this
+    # collapses the LSH input from |convs| to |distinct names|
+    name_rep = (
         triples.filter(F.col("pred") == "form.nome_completo")
         .select(
             F.col("conv_id").alias("id"),
             normalize_answer(F.col("obj")).alias("name"),
         )
-        .distinct()
+        .groupBy("name")
+        .agg(F.min("id").alias("id"))
+        # consumed by the bucket build AND both rerank joins
+        .localCheckpoint(eager=True)
     )
-    cand = lsh_candidate_pairs(names, "id", "name",
-                               n_hashes=16, bands=8, k=3)
-    kept = levenshtein_rerank(cand, names, "id", "name", max_dist=max_dist)
+    # 4 bands x 4 hashes: bucket-match threshold ~Jaccard 0.7 — tight
+    # enough that word-sharing names don't flood the candidate set, loose
+    # enough to catch <=2-edit typos on 20+-char names
+    cand = lsh_candidate_pairs(name_rep, "id", "name",
+                               n_hashes=16, bands=4, k=3, max_bucket=64,
+                               fast=True)
+    kept = levenshtein_rerank(cand, name_rep, "id", "name",
+                              max_dist=max_dist)
     return kept.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
 
 
