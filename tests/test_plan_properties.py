@@ -1,0 +1,55 @@
+"""Physical-plan regression guards: the perf-critical plan properties
+verified in docs/PLANS.md must not silently regress."""
+import io
+import sys
+
+from pyspark.sql import functions as F
+
+from information_extraction_t5_spark.operators.linking import (
+    alias_df,
+    link_aliases,
+)
+
+
+def _plan(df) -> str:
+    buf, old = io.StringIO(), sys.stdout
+    sys.stdout = buf
+    df.explain("formatted")
+    sys.stdout = old
+    return buf.getvalue()
+
+
+def test_alias_link_is_broadcast_hash_join(spark):
+    df = spark.createDataFrame(
+        [("form.endereco.estado", "São Paulo")] * 10, "pred string, obj string"
+    )
+    plan = _plan(link_aliases(df, alias_df(spark),
+                              predicates=["form.endereco.estado"]))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    plan = _plan(df)
+    assert "EqualTo(o_orderstatus,F)" in plan      # filter reached the scan
+    assert "o_totalprice" not in plan               # column pruned
+
+
+def test_registry_join_broadcasts(spark):
+    from information_extraction_t5_spark.operators.extraction import (
+        expand_questions,
+        registry_df,
+    )
+
+    windows = spark.createDataFrame(
+        [("c1", 0, "texto", 0)],
+        "conv_id string, window_id int, window_text string, "
+        "window_offset int",
+    )
+    plan = _plan(expand_questions(windows, registry_df(spark)))
+    assert "BroadcastExchange" in plan
