@@ -392,7 +392,11 @@ def run_extraction(
             yield model.predict_windows(pdf, registry_spec)
 
     cols = ["conv_id", "window_id", "window_offset", "window_text"]
-    return windows.select(*cols).mapInPandas(gen, schema=EXTRACTION_SCHEMA)
+    slim = windows.select(*cols)
+    # pin parallelism for the model stage (see run_extraction_from_documents)
+    target = max(windows.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    slim = slim.repartition(target, "conv_id")
+    return slim.mapInPandas(gen, schema=EXTRACTION_SCHEMA)
 
 
 def run_extraction_from_documents(
@@ -432,6 +436,13 @@ def run_extraction_from_documents(
                     win["window_text"].append(w.text)
             yield model.predict_windows(pd.DataFrame(win), registry_spec)
 
-    return documents.select("conv_id", "text").mapInPandas(
-        gen, schema=EXTRACTION_SCHEMA
+    # The model stage pins its own parallelism: AQE coalesces upstream
+    # shuffles by BYTES, which is exactly wrong before a compute-heavy UDF
+    # (a few MB of documents can carry hours of model time — observed:
+    # byte-coalescing collapsed extraction to ONE task).
+    docs = documents.select("conv_id", "text")
+    target = max(
+        documents.sparkSession.sparkContext.defaultParallelism * 2, 8
     )
+    docs = docs.repartition(target, "conv_id")
+    return docs.mapInPandas(gen, schema=EXTRACTION_SCHEMA)
