@@ -395,7 +395,7 @@ def run_extraction(
     slim = windows.select(*cols)
     # pin parallelism for the model stage (see run_extraction_from_documents)
     target = max(windows.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    slim = slim.repartition(target, "conv_id")
+    slim = slim.repartition(target)
     return slim.mapInPandas(gen, schema=EXTRACTION_SCHEMA)
 
 
@@ -444,5 +444,8 @@ def run_extraction_from_documents(
     target = max(
         documents.sparkSession.sparkContext.defaultParallelism * 2, 8
     )
-    docs = docs.repartition(target, "conv_id")
+    # round-robin with explicit count: a hash repartition on conv_id is
+    # collapsed by the optimizer into the upstream groupBy exchange, whose
+    # read AQE then byte-coalesces; round-robin survives both
+    docs = docs.repartition(target)
     return docs.mapInPandas(gen, schema=EXTRACTION_SCHEMA)

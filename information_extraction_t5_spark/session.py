@@ -40,10 +40,13 @@ def get_spark(
         # AQE: runtime coalescing, skew-join splitting, join-strategy switch
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # actually coalesce small shuffles to the advisory size instead of
-        # keeping max parallelism (tiny-task scheduling dominates otherwise)
+        # keep Spark's default parallelism-first coalescing: byte-based
+        # coalescing (parallelismFirst=false) is blind to downstream
+        # per-row cost and SERIALIZES model-inference UDF stages (observed:
+        # extraction collapsed to one task, 10x wall-time regression);
+        # the tiny-task overhead it saves is ~2s per bench run
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
+                "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every pandas UDF / toPandas crossing
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
