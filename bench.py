@@ -130,7 +130,7 @@ def bench_once(sf_dir: str, cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str, n_low: int, n_high: int,
-                model_cost_ms: float = 10.0) -> dict:
+                model_cost_ms: float = 30.0) -> dict:
     """Same job + same input at two parallelism levels via fresh
     subprocesses (a JVM's master is fixed at startup).
 
@@ -146,12 +146,13 @@ def run_scaling(sf_dir: str, n_low: int, n_high: int,
         ("raw", 0.0, 12_000),
         ("calibrated", model_cost_ms, 48_000),
     ):
+        repeats = "1" if cost else "2"
         for cpus in (n_low, n_high):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--cpus", str(cpus), "--sf-dir", sf_dir, "--kg-only",
                  "--model-cost-ms", str(cost), "--convs", str(convs),
-                 "--partitions", "256", "--repeats", "2"],
+                 "--partitions", "256", "--repeats", repeats],
                 capture_output=True, text=True, timeout=3600, env=env,
             )
             line = [l for l in out.stdout.splitlines()
@@ -196,10 +197,10 @@ The regex stand-in extractor is ~1000x cheaper than the batched seq2seq
 generation it replaces, so the raw job is dominated by fixed scheduling
 overhead at this corpus size.  The calibrated run burns
 {s['model_cost_ms']} ms of deterministic CPU per window inside the
-extraction UDF — a conservative proxy for per-window model latency (a
-quantized CPU T5-base spends ~100-1000 ms/window; reference inference adds
-one probability-scoring forward pass per row,
-models/qa_model.py:327-342).  This measures what actually matters at
+extraction UDF — a conservative proxy for per-window model latency (GPU-
+batched seq2seq spends tens of ms per window; a quantized CPU T5-base
+spends ~100-1000 ms; reference inference adds one probability-scoring
+forward pass per row, models/qa_model.py:327-342).  This measures what actually matters at
 cluster scale: whether the engine keeps 4N workers busy when per-row work
 is model-shaped.
 
@@ -248,7 +249,7 @@ def main():
 
     if args.scaling:
         s = run_scaling(args.sf_dir, args.scaling_low, args.scaling_low * 4,
-                        model_cost_ms=args.model_cost_ms or 10.0)
+                        model_cost_ms=args.model_cost_ms or 30.0)
         write_scaling_report(s)
         print(json.dumps(s))
         return
