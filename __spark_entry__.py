@@ -114,10 +114,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["top1_order_per_customer"] = top1_order_per_customer
 
     def customers_without_orders(spark, sf):
+        # anti-join with planted orphans: drop every order of customers
+        # with custkey % 7 == 3, so the anti-join provably returns them
+        # (TPC-H data alone has no orphan customers — a 0-row pass proves
+        # nothing; VERDICT r1)
+        orders = _t(spark, sf, "orders").filter(
+            F.col("o_custkey") % 7 != 3
+        )
         return (
             _t(spark, sf, "customer")
-            .join(_t(spark, sf, "orders"),
-                  F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
             .select("c_custkey", "c_name")
         )
     q["customers_without_orders"] = customers_without_orders
@@ -424,8 +431,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["language_guess_ngram"] = language_guess_ngram
 
     def fingerprint_dup_groups(spark, sf):
+        # planted duplicates: a salted copy of the first 50 documents is
+        # unioned in, so the dup-group operator provably fires (>0 rows)
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        copies = d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
         return dd.exact_dup_groups(
-            _t(spark, sf, "documents"), "doc_id", "text"
+            d.unionByName(copies), "doc_id", "text"
         ).select(
             "fingerprint",
             F.col("n_copies").cast("bigint").alias("n_copies"),
@@ -658,6 +671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_md5_fingerprints"] = simhash_md5_fingerprints
 
     def cosine_dup_pairs(spark, sf):
+        # planted near-dups (2x-scaled copies of the first 8 vectors:
+        # cosine exactly 1.0, identical LSH buckets) so the bucketed
+        # dedup path provably fires; the oracle runs the exact all-pairs
+        # join, so a green row also certifies the blocking lost nothing
         e = (
             _t(spark, sf, "embeddings")
             .filter(F.col("vec_id") < 80)
@@ -665,11 +682,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "embedding",
                 F.transform("embedding", lambda x: x.cast("double")),
             )
+            .select("vec_id", "embedding")
         )
-        return dd.embedding_dedup_pairs(e, "vec_id", "embedding",
-                                        threshold=0.0).select(
-            "id_a", "id_b", F.round("cos", 6).alias("cos")
-        ).filter(F.col("cos") >= 0.9)
+        copies = e.filter(F.col("vec_id") < 8).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        )
+        return dd.embedding_dedup_pairs(
+            e.unionByName(copies), "vec_id", "embedding",
+            threshold=0.9, bucketed=True,
+        ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     q["cosine_dup_pairs"] = cosine_dup_pairs
 
     def txt_report_lines(spark, sf):
@@ -697,20 +719,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def group_key_explode(spark, sf):
         # metric group-key derivation (reference group_qas,
-        # postprocess.py:16-70) as pure SQL: project + self + _N-stripped
+        # postprocess.py:16-70) via the REAL operator (pure expressions,
+        # no Python in the plan), over ids that exercise every branch:
+        # plain chunked ids, '~subfield' sub-answers, '*' star rows, and
+        # '~subfield*' star sub-answers
+        from information_extraction_t5_spark.operators.postprocess import (
+            with_group_keys,
+        )
         c = _t(spark, sf, "customer")
-        ex_id = F.concat(
+        base = F.concat(
             F.lit("seg."), F.lower("c_mktsegment"), F.lit("_"),
             (F.col("c_custkey") % 3).cast("string"),
         )
-        keys = F.array(
-            F.lit("seg"),
-            ex_id,
-            F.regexp_replace(ex_id, r"_[0-9]+$", ""),
+        ex_id = (
+            F.when(F.col("c_custkey") % 4 == 1, F.concat(base, F.lit("~cep")))
+            .when(F.col("c_custkey") % 4 == 2, F.concat(base, F.lit("*")))
+            .when(F.col("c_custkey") % 4 == 3,
+                  F.concat(base, F.lit("~cep*")))
+            .otherwise(base)
         )
-        return c.select(
-            "c_custkey", F.explode(keys).alias("group_key")
-        )
+        rows = c.select("c_custkey", ex_id.alias("example_id"))
+        return with_group_keys(rows).select("c_custkey", "group_key")
     q["group_key_explode"] = group_key_explode
 
     def fuzzy_name_pairs(spark, sf):
@@ -915,9 +944,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_exact_windows"] = kg_exact_windows
 
     def dedup_simhash_pairs(spark, sf):
+        # md5 hash mode so the DuckDB oracle replays the fingerprint
+        # bit-for-bit; the pigeonhole chunk blocking is lossless, so the
+        # blocked pairs equal the oracle's full O(n^2) join
         d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-        return dd.simhash_dedup_pairs(d, "doc_id", "text",
-                                      max_hamming=3, n_bits=16)
+        return dd.simhash_dedup_pairs(
+            d, "doc_id", "text", max_hamming=3, n_bits=16, hash_fn="md5"
+        ).select(
+            "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+        )
     q["dedup_simhash_pairs"] = dedup_simhash_pairs
 
     def dedup_jaccard_pairs(spark, sf):
@@ -937,6 +972,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = mm.synthetic_media_df(spark, n=48)
         return mm.extract_features(media)
     q["media_features"] = media_features
+
+    # ---- question-paraphrase selection (reference choose_question,
+    #      basic_to_squad.py:16-41) ----
+
+    def question_expand_all(spark, sf):
+        from information_extraction_t5_spark.operators.extraction import (
+            expand_questions,
+            registry_df,
+        )
+        d = _t(spark, sf, "documents").select("doc_id")
+        out = expand_questions(d, registry_df(spark), choose="all",
+                               doc_col="doc_id")
+        return out.select(
+            "doc_id", "qa_id",
+            F.col("variant_idx").cast("bigint").alias("variant_idx"),
+            "question",
+        )
+    q["question_expand_all"] = question_expand_all
+
+    def question_choose_random(spark, sf):
+        from information_extraction_t5_spark.operators.extraction import (
+            expand_questions,
+            registry_df,
+        )
+        d = _t(spark, sf, "documents").select("doc_id")
+        out = expand_questions(d, registry_df(spark), choose="random",
+                               seed=13, doc_col="doc_id")
+        return out.select(
+            "doc_id", "qa_id",
+            F.col("variant_idx").cast("bigint").alias("variant_idx"),
+            "question",
+        )
+    q["question_choose_random"] = question_choose_random
 
     return q
 
@@ -962,7 +1030,8 @@ def oracle_sql() -> dict[str, str]:
     o["customers_without_orders"] = """
         select c_custkey, c_name from customer c
         where not exists (
-          select 1 from orders o where o.o_custkey = c.c_custkey)
+          select 1 from orders o
+          where o.o_custkey = c.c_custkey and o.o_custkey % 7 != 3)
     """
 
     o["posneg_counts"] = """
@@ -1238,10 +1307,14 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["fingerprint_dup_groups"] = """
+        with d as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 1000000, text from documents where doc_id < 50)
         select md5(text) as fingerprint,
                cast(count(*) as bigint) as n_copies,
                cast(min(doc_id) as bigint) as keeper
-        from documents group by md5(text) having count(*) > 1
+        from d group by md5(text) having count(*) > 1
     """
 
     o["exact_dedup_survivors"] = """
@@ -1441,8 +1514,13 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["cosine_dup_pairs"] = """
-        with v as (select vec_id, embedding::double[] as e from embeddings
-                   where vec_id < 80),
+        with base as (select vec_id, embedding::double[] as e
+                      from embeddings where vec_id < 80),
+        v as (
+          select vec_id, e from base
+          union all
+          select vec_id + 100000, list_transform(e, x -> x * 2.0)
+          from base where vec_id < 8),
         scored as (
           select a.vec_id as id_a, b.vec_id as id_b,
                  round(
@@ -1475,12 +1553,50 @@ def oracle_sql() -> dict[str, str]:
         with e as (
           select c_custkey,
                  'seg.' || lower(c_mktsegment) || '_'
-                   || cast(c_custkey % 3 as varchar) as ex_id
-          from customer)
+                   || cast(c_custkey % 3 as varchar)
+                   || case c_custkey % 4
+                        when 1 then '~cep'
+                        when 2 then '*'
+                        when 3 then '~cep*'
+                        else '' end as ex
+          from customer),
+        p as (
+          select c_custkey, ex,
+                 contains(ex, '~') as has_t,
+                 case when contains(ex, '~')
+                      then regexp_replace(ex, '~[^~]*$', '') else ex
+                 end as base,
+                 case when contains(ex, '~')
+                      then regexp_extract(ex, '~([^~]*)$', 1) end as comp
+          from e),
+        q as (
+          select *,
+                 case when contains(base, '_')
+                      then regexp_extract(base, '_([^_]*)$', 1) end as tail,
+                 regexp_replace(base, '_[^_]*$', '') as stem
+          from p),
+        r as (
+          select *,
+                 tail is not null and tail like '%*' as starred,
+                 case when not has_t and tail like '%*'
+                      then substring(tail, 1, length(tail) - 1)
+                      else tail end as tail2
+          from q),
+        k as (
+          select c_custkey,
+            (case when not has_t
+                  then [string_split(ex, '.')[1]]
+                  else [] end)
+            || [ex]
+            || (case when tail is not null
+                      and regexp_matches(tail2, '^\\s*[+-]?[0-9]+\\s*$')
+                 then [stem || case when has_t then '~' || comp
+                                    when starred then '*'
+                                    else '' end]
+                 else [] end) as keys
+          from r)
         select c_custkey, u.group_key
-        from e, lateral unnest([
-          'seg', ex_id, regexp_replace(ex_id, '_[0-9]+$', '')
-        ]) as u(group_key)
+        from k, lateral unnest(keys) as u(group_key)
     """
 
     o["fuzzy_name_pairs"] = """
@@ -1592,6 +1708,132 @@ def oracle_sql() -> dict[str, str]:
                round(max(value), 2) as max_value,
                round(min(value), 2) as min_value
         from events group by rollup(event_type)
+    """
+
+    # ---- question-paraphrase selection: the registry is static, so it
+    # inlines as VALUES; both engines run the same md5 draw ----
+    from information_extraction_t5_spark.core.registry import registry_rows
+
+    _qvals = ",\n          ".join(
+        "('{qa}', {i}, '{qq}')".format(
+            qa=r["qa_id"], i=i, qq=qq.replace("'", "''")
+        )
+        for r in registry_rows()
+        for i, qq in enumerate(r["questions"])
+    )
+    o["question_expand_all"] = f"""
+        select d.doc_id, v.qa_id,
+               cast(v.variant_idx as bigint) as variant_idx, v.question
+        from documents d
+        cross join (values
+          {_qvals}) v(qa_id, variant_idx, question)
+    """
+
+    o["question_choose_random"] = f"""
+        with vv as (
+          select * from (values
+            {_qvals}) v(qa_id, variant_idx, question)),
+        nv as (
+          select qa_id, cast(count(*) as bigint) as n
+          from vv group by qa_id),
+        sel as (
+          select d.doc_id, nv.qa_id,
+                 ('0x' || substring(md5(cast(d.doc_id as varchar) || ':'
+                   || nv.qa_id || ':13'), 1, 8))::bigint % nv.n
+                   as variant_idx
+          from documents d cross join nv)
+        select s.doc_id, s.qa_id,
+               cast(s.variant_idx as bigint) as variant_idx, v.question
+        from sel s
+        join vv v on v.qa_id = s.qa_id and v.variant_idx = s.variant_idx
+    """
+
+    # ---- simhash pairs: md5 token hashes make the fingerprint
+    # replayable; the oracle runs the full O(n^2) join, certifying the
+    # pigeonhole chunk blocking lost nothing ----
+    _TOKS_ALL = "string_split_regex(trim(lower(text)), '\\s+')"
+    _HTOK_ALL = ("list_transform(list_distinct(" + _TOKS_ALL + "), t -> "
+                 "('0x' || substring(md5(t), 1, 8))::bigint)")
+    _BITS_ALL = " + ".join(
+        f"(case when list_sum(list_transform({_HTOK_ALL}, v -> "
+        f"case when (v >> {i}) & 1 = 1 then 1 else -1 end)) > 0 "
+        f"then {1 << i} else 0 end)"
+        for i in range(16)
+    )
+    o["dedup_simhash_pairs"] = f"""
+        with fp as (
+          select doc_id, cast(coalesce({_BITS_ALL}, 0) as bigint) as fp
+          from documents where doc_id < 200)
+        select a.doc_id as id_a, b.doc_id as id_b,
+               cast(bit_count(xor(a.fp, b.fp)) as int) as hamming
+        from fp a join fp b on a.doc_id < b.doc_id
+        where bit_count(xor(a.fp, b.fp)) <= 3
+    """
+
+    # ---- ANN oracles: the seeded hyperplanes / deterministic centroids
+    # inline as literals, so DuckDB replays bucket assignment, multi-probe
+    # and cell probing exactly ----
+    from information_extraction_t5_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    _planes = random_hyperplanes(64, 6, 42)
+
+    def _plane_lst(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    _bucket = " + ".join(
+        f"(case when list_sum(list_transform(generate_series(1, len(e)), "
+        f"j -> e[j] * ({_plane_lst(p)})[j])) > 0 then {1 << i} else 0 end)"
+        for i, p in enumerate(_planes)
+    )
+    o["ann_lsh_topk"] = f"""
+        with v as (select vec_id, embedding::double[] as e from embeddings),
+        b as (select vec_id, e, ({_bucket}) as bucket from v),
+        qrow as (select e as qe, bucket as qb from b where vec_id = 0)
+        select b.vec_id,
+               round(
+                 list_sum(list_transform(generate_series(1, len(b.e)),
+                   i -> b.e[i] * qrow.qe[i]))
+                 / (sqrt(list_sum(list_transform(b.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qrow.qe, x -> x * x)))),
+                 6) as cos
+        from b, qrow
+        where bit_count(xor(b.bucket::bigint, qrow.qb::bigint)) <= 1
+        order by cos desc, vec_id asc limit 10
+    """
+
+    o["ann_ivf_topk"] = """
+        with v as (select vec_id, embedding::double[] as e from embeddings),
+        c as (select vec_id as cell, e as ce from v where vec_id < 8),
+        s as (select v.vec_id, v.e, c.cell,
+                list_sum(list_transform(generate_series(1, len(v.e)),
+                  i -> v.e[i] * c.ce[i]))
+                / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+                   * sqrt(list_sum(list_transform(c.ce, x -> x * x))))
+                as cs
+              from v cross join c),
+        assign as (
+          select vec_id, e, cell from (
+            select vec_id, e, cell,
+                   row_number() over (partition by vec_id
+                                      order by cs desc, cell asc) as rn
+            from s) t
+          where rn = 1),
+        probe as (
+          select cell from s where vec_id = 3
+          order by cs desc, cell asc limit 3),
+        q as (select e as qe from v where vec_id = 3)
+        select a.vec_id,
+               round(
+                 list_sum(list_transform(generate_series(1, len(a.e)),
+                   i -> a.e[i] * q.qe[i]))
+                 / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(q.qe, x -> x * x)))),
+                 6) as cos
+        from assign a, q
+        where a.cell in (select cell from probe)
+        order by cos desc, vec_id asc limit 10
     """
 
     return o

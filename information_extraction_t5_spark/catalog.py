@@ -85,15 +85,11 @@ class Catalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
 
-        back = self.spark.read.parquet(tmp)
-        from pyspark.sql import functions as F
-
-        part_counts = [
-            r["n"]
-            for r in back.groupBy(
-                F.spark_partition_id().alias("p")
-            ).agg(F.count(F.lit(1)).alias("n")).collect()
-        ]
+        # Per-partition lineage from parquet FOOTERS (KBs of metadata per
+        # file), not a second scan of the data — at 100 TB a read-back
+        # groupBy would double checkpoint I/O.  One Spark job per commit
+        # (the write itself); pinned by tests/test_catalog_lineage.py.
+        part_counts = self._footer_row_counts(tmp)
         rows = sum(part_counts)
         nparts = max(len(part_counts), 1)
         skew = {
@@ -128,6 +124,23 @@ class Catalog:
                 f,
             )
         return commit
+
+    @staticmethod
+    def _footer_row_counts(root: str) -> List[int]:
+        """Row count per output file, read from parquet footer metadata
+        (pyarrow reads only the footer, never the column data).  On a real
+        cluster this is the same information an Iceberg snapshot manifest
+        carries for free."""
+        import pyarrow.parquet as pq
+
+        counts: List[int] = []
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                meta = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+                counts.append(meta.num_rows)
+        return counts
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))

@@ -97,14 +97,24 @@ def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def simhash64(col, n_bits: int = 64):
-    """64-bit SimHash over word tokens, pure expressions.
+def simhash64(col, n_bits: int = 64, hash_fn: str = "xxhash64"):
+    """n_bits-wide SimHash over word tokens, pure expressions.
 
-    Per token: xxhash64; per bit: +1 if set else -1; sign of the sum is the
-    fingerprint bit.  aggregate() keeps the whole reduction JVM-side.
+    Per token: a 64-bit hash; per bit: +1 if set else -1; sign of the sum
+    is the fingerprint bit.  aggregate() keeps the whole reduction
+    JVM-side.  ``hash_fn='xxhash64'`` (default) is the fast production
+    path; ``'md5'`` derives the token hash from the md5 hex prefix so a
+    DuckDB oracle can replay the fingerprint bit-for-bit.
     """
     toks = F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_fn == "md5":
+        hashes = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+            .cast("bigint"),
+        )
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def bit_acc(i: int):
         # closure factory (extra lambda params would get index columns)
@@ -122,18 +132,21 @@ def simhash64(col, n_bits: int = 64):
 
 
 def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
-                        max_hamming: int = 3, n_bits: int = 16) -> DataFrame:
+                        max_hamming: int = 3, n_bits: int = 16,
+                        hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on hash bands.
 
     n_bits=16 keeps the expression tree small for tests; 64 for production.
     Blocking: split the fingerprint into (max_hamming+1) chunks — a pair
-    within the budget must agree on at least one chunk (pigeonhole).
+    within the budget must agree on at least one chunk (pigeonhole), so
+    the blocked result is IDENTICAL to the full O(n^2) join, not an
+    approximation.  ``hash_fn='md5'`` makes the result oracle-replayable.
     """
     chunks = max_hamming + 1
     chunk_bits = max(n_bits // chunks, 1)
     fp = df.select(
         F.col(id_col).alias("id"),
-        simhash64(F.col(text_col), n_bits).alias("fp"),
+        simhash64(F.col(text_col), n_bits, hash_fn=hash_fn).alias("fp"),
     )
     banded = fp.select(
         "id", "fp",
@@ -172,18 +185,82 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
-                          threshold: float = 0.95) -> DataFrame:
-    """Cosine near-dup pairs.  Brute-force within-bucket: callers should
-    pre-bucket (e.g. vectors.hyperplane_sign_bits) before this at scale;
-    at test scale the full self-join is fine."""
+                          threshold: float = 0.95,
+                          bucketed: bool = True,
+                          n_planes: int = 8, n_tables: int = 4,
+                          seed: int = 42) -> DataFrame:
+    """Cosine near-dup pairs, hyperplane-LSH blocked by default.
+
+    Each of ``n_tables`` hash tables assigns a random-hyperplane sign
+    bucket (pure expression, no UDF); candidates are pairs sharing a
+    bucket in ANY table — an equi-join on (table, bucket), never all
+    pairs.  Only ids travel through the candidate join; vectors are
+    joined back for the exact cosine verify.  Misses fall exponentially
+    with ``n_tables`` (a cos>=0.95 pair agrees with one 8-plane table
+    w.p. ~0.6, with at least one of 4 tables w.p. ~0.97+).
+
+    ``bucketed=False`` is the exact all-pairs escape hatch for tiny
+    inputs or recall audits — O(n^2), never the default.
+    """
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    a, b = v.alias("a"), v.alias("b")
+
+    if not bucketed:
+        a, b = v.alias("a"), v.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+        )
+
+    dim_row = v.select(F.size("vec").alias("d")).head()
+    if dim_row is None:  # empty input
+        return v.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double"
+        )
+    dim = dim_row["d"]
+    from information_extraction_t5_spark.functions.vectors import (
+        hyperplane_sign_bits,
+    )
+    from information_extraction_t5_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    buckets = F.array(
+        *[
+            hyperplane_sign_bits(
+                F.col("vec"), random_hyperplanes(dim, n_planes, seed + t)
+            )
+            for t in range(n_tables)
+        ]
+    )
+    # ids-only through the shuffle: vectors rejoin after the candidate set
+    banded = v.select(
+        "id", F.posexplode(buckets).alias("table", "bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.table") == F.col("r.table"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("_va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb"))
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        cand.join(va, "id_a").join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+            "id_a", "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -46,11 +46,53 @@ def registry_df(spark, predicates: Optional[List[Predicate]] = None):
     )
 
 
-def expand_questions(windows: DataFrame, registry: DataFrame) -> DataFrame:
+def expand_questions(windows: DataFrame, registry: DataFrame,
+                     choose: str = "first", seed: int = 13,
+                     doc_col: str = "conv_id") -> DataFrame:
     """Broadcast cross join window x predicate (reference loop:
     basic_to_squad.py:253-317).  The registry is tiny — always broadcast;
-    the result keeps the windows' partitioning (narrow)."""
-    return windows.crossJoin(F.broadcast(registry))
+    the result keeps the windows' partitioning (narrow).
+
+    ``choose`` selects among question paraphrases per predicate
+    (reference choose_question, basic_to_squad.py:16-41):
+
+      first   the registry's canonical question (default; no new column)
+      all     one row per variant (adds ``variant_idx``)
+      random  a per-(document, predicate) seeded md5 draw (adds
+              ``variant_idx``) — deterministic, engine-portable
+    """
+    x = windows.crossJoin(F.broadcast(registry))
+    if choose == "first":
+        return x
+    if choose == "all":
+        cols = [c for c in x.columns if c != "question"]
+        return x.select(
+            *cols, F.posexplode("questions").alias("variant_idx", "question")
+        )
+    if choose == "random":
+        idx = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col(doc_col).cast("string"),
+                            F.col("qa_id"), F.lit(str(seed)),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.size("questions").cast("bigint"),
+        ).cast("int")
+        return (
+            x.withColumn("variant_idx", idx)
+            .withColumn(
+                "question",
+                F.element_at("questions", F.col("variant_idx") + 1),
+            )
+        )
+    raise ValueError(f"unknown choose_question mode: {choose}")
 
 
 # ---------------------------------------------------------------------------
@@ -214,11 +256,18 @@ class RegexFormExtractor:
         out["prob"] = probs
         return out
 
-    def predict_windows(self, pdf: pd.DataFrame, registry_spec) -> pd.DataFrame:
+    def predict_windows(self, pdf: pd.DataFrame, registry_spec,
+                        choose: str = "first",
+                        seed: int = 13) -> pd.DataFrame:
         """Window-row API: answers every registry predicate per window.
 
         The window text crosses Arrow exactly once (not once per question)
-        and never travels back — only ids + predictions do.
+        and never travels back — only ids + predictions do.  ``choose``
+        picks question paraphrases (the regex model's answer is
+        question-invariant, so 'all' replicates rows — the multiplicity the
+        reference's choose_question='all' dataset build produces — and
+        'random' matches 'first' row-for-row with a different question
+        asked).
         """
         out = {"conv_id": [], "window_id": [], "window_offset": [],
                "qa_id": [], "prediction": [], "prob": []}
@@ -229,7 +278,7 @@ class RegexFormExtractor:
             text = text or ""
             lo, hi = self._core_span(text)
             self._burn()
-            for qa_id, field, _question, subfields in registry_spec:
+            for qa_id, field, questions, subfields in registry_spec:
                 if subfields:
                     pieces, found = [], 0
                     for sf in subfields:
@@ -241,14 +290,18 @@ class RegexFormExtractor:
                 else:
                     pred, hit = self._subanswer(field, text, lo, hi)
                     found, n_asked = int(hit), 1
-                out["conv_id"].append(cid)
-                out["window_id"].append(wid)
-                out["window_offset"].append(woff)
-                out["qa_id"].append(qa_id)
-                out["prediction"].append(pred)
-                out["prob"].append(
-                    round(math.exp(-(n_asked - found) / n_asked), 6)
+                n_variants = len(
+                    _variant_indices(cid, qa_id, questions, choose, seed)
                 )
+                for _ in range(n_variants):
+                    out["conv_id"].append(cid)
+                    out["window_id"].append(wid)
+                    out["window_offset"].append(woff)
+                    out["qa_id"].append(qa_id)
+                    out["prediction"].append(pred)
+                    out["prob"].append(
+                        round(math.exp(-(n_asked - found) / n_asked), 6)
+                    )
         return pd.DataFrame(out)
 
 
@@ -317,27 +370,55 @@ class Seq2SeqExtractor:
         res["prob"] = [round(p, 6) for p in probs]
         return res
 
-    def predict_windows(self, pdf: pd.DataFrame,
-                        registry_spec) -> pd.DataFrame:  # pragma: no cover
+    def predict_windows(self, pdf: pd.DataFrame, registry_spec,
+                        choose: str = "first",
+                        seed: int = 13) -> pd.DataFrame:  # pragma: no cover
         """Expand (window x question) internally and run batched generate —
         the expansion happens where the GPU batch is formed, not in a
-        Spark-side join."""
+        Spark-side join.  ``choose`` selects question paraphrases per
+        (document, predicate): 'first', seeded 'random', or 'all'."""
         expanded = {"conv_id": [], "window_id": [], "window_offset": [],
                     "qa_id": [], "question": [], "window_text": []}
         for cid, wid, woff, text in zip(
             pdf["conv_id"], pdf["window_id"], pdf["window_offset"],
             pdf["window_text"],
         ):
-            for qa_id, _field, question, _sub in registry_spec:
-                expanded["conv_id"].append(cid)
-                expanded["window_id"].append(wid)
-                expanded["window_offset"].append(woff)
-                expanded["qa_id"].append(qa_id)
-                expanded["question"].append(question)
-                expanded["window_text"].append(text)
+            for qa_id, _field, questions, _sub in registry_spec:
+                for vi in _variant_indices(cid, qa_id, questions,
+                                           choose, seed):
+                    expanded["conv_id"].append(cid)
+                    expanded["window_id"].append(wid)
+                    expanded["window_offset"].append(woff)
+                    expanded["qa_id"].append(qa_id)
+                    expanded["question"].append(questions[vi])
+                    expanded["window_text"].append(text)
         out = self.predict(pd.DataFrame(expanded))
         return out[["conv_id", "window_id", "window_offset", "qa_id",
                     "prediction", "prob"]]
+
+
+def _variant_indices(conv_id, qa_id: str, questions, choose: str,
+                     seed: int) -> List[int]:
+    """Question-paraphrase selection per (document, predicate) — the
+    reference's choose_question (basic_to_squad.py:16-41) with the random
+    draw made deterministic: md5(conv:qa:seed) % n_variants, the same
+    formula the SQL-side expand_questions uses so both paths agree."""
+    n = max(len(questions), 1)
+    if choose == "all":
+        return list(range(n))
+    if choose == "random":
+        import hashlib
+
+        h = int(
+            hashlib.md5(
+                f"{conv_id}:{qa_id}:{seed}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        return [h % n]
+    if choose == "first":
+        return [0]
+    raise ValueError(f"unknown choose_question mode: {choose}")
 
 
 # one model per executor python worker (not per batch, not per row)
@@ -369,6 +450,8 @@ def run_extraction(
     extractor: str = "regex",
     model_name: Optional[str] = None,
     model_cost_ms: float = 0.0,
+    choose_question: str = "first",
+    question_seed: int = 13,
 ) -> DataFrame:
     """mapInPandas batched extraction over *window* rows.
 
@@ -377,11 +460,14 @@ def run_extraction(
     question — and the output carries ids + predictions only; window
     payloads are rejoined downstream by (conv_id, window_id) when needed.
     A seq2seq extractor expands (window x question) batches internally,
-    which is also where the GPU wants them.
+    which is also where the GPU wants them.  ``choose_question`` selects
+    paraphrase variants ('first'/'random'/'all'; reference
+    basic_to_squad.py:16-41).
     """
     preds = predicates or DEFAULT_PREDICATES
     registry_spec = [
-        (p.qa_id, p.field, p.questions[0], tuple(p.subfields)) for p in preds
+        (p.qa_id, p.field, tuple(p.questions), tuple(p.subfields))
+        for p in preds
     ]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -389,7 +475,9 @@ def run_extraction(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            yield model.predict_windows(pdf, registry_spec)
+            yield model.predict_windows(pdf, registry_spec,
+                                        choose=choose_question,
+                                        seed=question_seed)
 
     cols = ["conv_id", "window_id", "window_offset", "window_text"]
     slim = windows.select(*cols)
@@ -406,6 +494,8 @@ def run_extraction_from_documents(
     extractor: str = "regex",
     model_name: Optional[str] = None,
     model_cost_ms: float = 0.0,
+    choose_question: str = "first",
+    question_seed: int = 13,
 ) -> DataFrame:
     """Fused window-assembly + extraction: one Arrow crossing per document.
 
@@ -418,7 +508,8 @@ def run_extraction_from_documents(
 
     preds = predicates or DEFAULT_PREDICATES
     registry_spec = [
-        (p.qa_id, p.field, p.questions[0], tuple(p.subfields)) for p in preds
+        (p.qa_id, p.field, tuple(p.questions), tuple(p.subfields))
+        for p in preds
     ]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -434,7 +525,9 @@ def run_extraction_from_documents(
                     win["window_id"].append(w.window_id)
                     win["window_offset"].append(w.offset)
                     win["window_text"].append(w.text)
-            yield model.predict_windows(pd.DataFrame(win), registry_spec)
+            yield model.predict_windows(pd.DataFrame(win), registry_spec,
+                                        choose=choose_question,
+                                        seed=question_seed)
 
     # The model stage pins its own parallelism: AQE coalesces upstream
     # shuffles by BYTES, which is exactly wrong before a compute-heavy UDF

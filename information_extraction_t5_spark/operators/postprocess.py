@@ -101,15 +101,54 @@ def explode_compound(
     return sel.mapInPandas(gen, schema=EXPLODED_SCHEMA)
 
 
-def with_group_keys(exploded: DataFrame,
-                    example_col: str = "example_id") -> DataFrame:
-    """Explode metric group keys (reference group_qas index lists become
-    rows; postprocess.py:16-70)."""
-    keys_udf = F.udf(
-        compound_kernel.group_keys, "array<string>"
+def group_keys_expr(ex, group_by_typenames: bool = True):
+    """Metric group keys as a pure expression array<string> — the
+    whole-stage-codegen form of core/compound.group_keys (reference
+    group_qas, postprocess.py:16-70); equivalence is pinned by
+    tests/test_compound.py.
+
+    Keys, in kernel order: the document class (ids without '~'), the id
+    itself, and — when the id carries a numeric ``_N`` chunk suffix — the
+    suffix-stripped id with its ``~typename`` / ``*`` marker preserved.
+    """
+    if not group_by_typenames:
+        return F.array(ex)
+    has_tilde = ex.contains("~")
+    class_key = F.when(~has_tilde, F.split(ex, r"\.").getItem(0))
+
+    base = F.when(has_tilde, F.regexp_replace(ex, r"~[^~]*$", "")).otherwise(ex)
+    comp = F.when(has_tilde, F.substring_index(ex, "~", -1))
+    tail = F.substring_index(base, "_", -1)
+    starred = tail.endswith("*")
+    # tail[:-1] only strips the star on non-'~' ids (kernel semantics); a
+    # starred tail under '~' keeps the '*' and fails the numeric check
+    tail_num = F.when(
+        ~has_tilde & starred, F.substring(tail, 1, F.length(tail) - 1)
+    ).otherwise(tail)
+    is_numeric = tail_num.rlike(r"^\s*[+-]?[0-9]+\s*$")
+    stem = F.regexp_replace(base, r"_[^_]*$", "")
+    stripped = F.concat(
+        stem,
+        F.when(has_tilde, F.concat(F.lit("~"), comp))
+        .when(starred, F.lit("*"))
+        .otherwise(F.lit("")),
     )
+    stripped_key = F.when(base.contains("_") & is_numeric, stripped)
+    # duplicates are intentional (the kernel keeps them); only drop nulls
+    return F.filter(
+        F.array(class_key, ex, stripped_key), lambda k: k.isNotNull()
+    )
+
+
+def with_group_keys(exploded: DataFrame,
+                    example_col: str = "example_id",
+                    group_by_typenames: bool = True) -> DataFrame:
+    """Explode metric group keys (reference group_qas index lists become
+    rows; postprocess.py:16-70).  Pure expressions — no Python in the
+    plan (no BatchEvalPython; pinned by tests/test_plan_properties.py)."""
     return exploded.withColumn(
-        "group_key", F.explode(keys_udf(F.col(example_col)))
+        "group_key",
+        F.explode(group_keys_expr(F.col(example_col), group_by_typenames)),
     )
 
 

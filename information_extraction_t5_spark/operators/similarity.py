@@ -178,12 +178,20 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: restrict to the query's hyperplane bucket, then
+    """Approximate top-k: restrict to the query's hyperplane bucket plus
+    every bucket within ``n_probe_hamming`` sign flips (multi-probe), then
     exact cosine.  Bucket assignment is a pure expression (no UDF); the
-    filter prunes before any join/shuffle."""
+    filter prunes before any join/shuffle.
+
+    Multi-probe is what keeps recall flat as ``n_planes`` grows: the
+    vectors most likely to be missed are the ones whose dot product with
+    one plane sits near zero, and those land exactly in the Hamming-1
+    neighbor buckets.  ``n_probe_hamming=0`` recovers single-bucket probing.
+    """
     dim = len(query)
     planes = random_hyperplanes(dim, n_planes, seed)
     qbits = 0
@@ -194,8 +202,11 @@ def lsh_topk(
         "bucket", hyperplane_sign_bits(F.col(vec_col), planes)
     )
     q = lit_vector(query)
+    probe = F.bit_count(
+        F.col("bucket").bitwiseXOR(F.lit(qbits))
+    ) <= n_probe_hamming
     return (
-        bucketed.filter(F.col("bucket") == qbits)
+        bucketed.filter(probe)
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cos"),

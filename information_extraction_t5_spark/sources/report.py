@@ -1,0 +1,146 @@
+"""Per-document-class sheet artifact (the reference's Excel sink).
+
+The reference pivots the prediction table per document class — rows are
+document ids, column groups are typenames, values are (label, prediction,
+exact, f1, prob) — and writes one xlsx sheet per class (reference:
+models/qa_model.py:388-436).  Spark-side the pivot is a distributed
+groupBy().pivot(); only the final write chooses a format:
+
+  - openpyxl present  -> one workbook, one sheet per class (reference
+    parity artifact);
+  - otherwise         -> one CSV per class under ``out_dir`` (same frames,
+    dependency-free — this sandbox's path).
+
+The pivot itself never collects: at 100 TB you'd point the same frames at
+``.write.parquet`` instead; the xlsx/CSV export is a human-report sink and
+is inherently driver-sized (per-class rollups).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from information_extraction_t5_spark.functions.metrics import (
+    exact_match,
+    f1_approx,
+)
+
+VALUE_AGGS = ("label", "prediction", "exact", "f1", "prob")
+
+
+def class_of(example_col: str = "example_id"):
+    """Document class = the project prefix of the dotted qa_id."""
+    return F.split(F.col(example_col), r"\.").getItem(0)
+
+
+def pivoted_class_frame(
+    preds: DataFrame,
+    document_class: Optional[str] = None,
+    doc_col: str = "document_id",
+    example_col: str = "example_id",
+    label_col: str = "label",
+    pred_col: str = "prediction",
+    prob_col: str = "prob",
+    typenames: Optional[List[str]] = None,
+) -> DataFrame:
+    """One pivoted sheet frame: row per document, a (label, prediction,
+    exact, f1, prob) column group per typename.  Distributed: one shuffle
+    (the groupBy/pivot); pass ``typenames`` to skip the pivot-value
+    discovery job at scale."""
+    scored = (
+        preds.withColumn(
+            "exact",
+            exact_match(F.col(label_col), F.col(pred_col)).cast("int"),
+        )
+        .withColumn(
+            "f1", F.round(f1_approx(F.col(label_col), F.col(pred_col)), 6)
+        )
+        # typename id = everything after the project prefix (keeps the
+        # '~subfield' / '*' markers of exploded sub-answers)
+        .withColumn("_tn", F.substring_index(F.col(example_col), ".", -1))
+    )
+    if document_class is not None:
+        scored = scored.filter(class_of(example_col) == document_class)
+    grouped = scored.groupBy(F.col(doc_col).alias("document_id"))
+    pivot = grouped.pivot("_tn", typenames) if typenames \
+        else grouped.pivot("_tn")
+    return pivot.agg(
+        F.first(label_col).alias("label"),
+        F.first(pred_col).alias("prediction"),
+        F.first("exact").alias("exact"),
+        F.first("f1").alias("f1"),
+        F.first(prob_col).alias("prob"),
+    ).orderBy("document_id")
+
+
+def write_frame_csv(df: DataFrame, path: str) -> None:
+    """Write one DataFrame as a single named CSV file (header included).
+
+    coalesce(1) is deliberate: a sheet artifact is one file by contract;
+    the upstream pivot already ran distributed."""
+    tmp = path + ".__tmp__"
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    part = next(
+        f for f in sorted(os.listdir(tmp))
+        if f.startswith("part-") and f.endswith(".csv")
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    os.replace(os.path.join(tmp, part), path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_class_report(
+    preds: DataFrame,
+    out_dir: str,
+    doc_col: str = "document_id",
+    example_col: str = "example_id",
+    label_col: str = "label",
+    pred_col: str = "prediction",
+    prob_col: str = "prob",
+) -> Dict[str, str]:
+    """Materialize the per-class sheet artifact; returns {class: file path}.
+
+    Uses openpyxl (one workbook, one sheet per class) when importable,
+    CSV-per-class otherwise — the frames are identical either way.
+    """
+    classes = [
+        r["c"]
+        for r in preds.select(class_of(example_col).alias("c"))
+        .distinct().orderBy("c").collect()
+    ]
+    frames = {
+        c: pivoted_class_frame(
+            preds, c, doc_col, example_col, label_col, pred_col, prob_col
+        )
+        for c in classes
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        import openpyxl  # noqa: F401
+        have_xlsx = True
+    except ImportError:
+        have_xlsx = False
+
+    out: Dict[str, str] = {}
+    if have_xlsx:  # pragma: no cover - openpyxl absent in this sandbox
+        import pandas as pd
+
+        path = os.path.join(out_dir, "outputs_sheet.xlsx")
+        with pd.ExcelWriter(path, engine="openpyxl") as writer:
+            for c, frame in frames.items():
+                frame.toPandas().to_excel(
+                    writer, sheet_name=c[:31], index=False
+                )
+                out[c] = path
+        return out
+
+    for c, frame in frames.items():
+        path = os.path.join(out_dir, f"{c}.csv")
+        write_frame_csv(frame, path)
+        out[c] = path
+    return out

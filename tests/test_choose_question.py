@@ -1,0 +1,97 @@
+"""choose_question paraphrase selection (reference basic_to_squad.py:16-41):
+'first' parity, 'all' multiplicity, seeded-'random' determinism, and the
+SQL-side expand_questions agreeing with the Python-side draw."""
+import pandas as pd
+from pyspark.sql import functions as F
+
+from information_extraction_t5_spark.core.registry import DEFAULT_PREDICATES
+from information_extraction_t5_spark.operators.extraction import (
+    _variant_indices,
+    expand_questions,
+    registry_df,
+    run_extraction,
+)
+
+N_PREDICATES = len(DEFAULT_PREDICATES)
+N_VARIANTS = sum(len(p.questions) for p in DEFAULT_PREDICATES)
+
+
+def _windows(spark):
+    return spark.createDataFrame(
+        [
+            ("c1", 0, 0, "Nome Completo Ana Souza\nBairro Centro"),
+            ("c2", 0, 0, "Data de Emissão 01/02/2020"),
+        ],
+        "conv_id string, window_id int, window_offset int, "
+        "window_text string",
+    )
+
+
+def _frame(df) -> pd.DataFrame:
+    return (
+        df.toPandas()
+        .sort_values(["conv_id", "window_id", "qa_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_first_is_default_and_unchanged(spark):
+    w = _windows(spark)
+    base = _frame(run_extraction(w))
+    first = _frame(run_extraction(w, choose_question="first"))
+    pd.testing.assert_frame_equal(base, first)
+    assert len(base) == 2 * N_PREDICATES
+
+
+def test_all_multiplies_by_variant_count(spark):
+    w = _windows(spark)
+    out = run_extraction(w, choose_question="all")
+    counts = {
+        r["qa_id"]: r["n"]
+        for r in out.groupBy("qa_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for p in DEFAULT_PREDICATES:
+        assert counts[p.qa_id] == 2 * len(p.questions), p.qa_id
+    assert out.count() == 2 * N_VARIANTS
+
+
+def test_random_is_deterministic_and_row_parity_with_first(spark):
+    w = _windows(spark)
+    a = _frame(run_extraction(w, choose_question="random", question_seed=13))
+    b = _frame(run_extraction(w, choose_question="random", question_seed=13))
+    pd.testing.assert_frame_equal(a, b)
+    # the regex model is question-invariant: 'random' == 'first' row-for-row
+    first = _frame(run_extraction(w))
+    pd.testing.assert_frame_equal(a, first)
+
+
+def test_expand_questions_random_matches_python_draw(spark):
+    docs = spark.createDataFrame(
+        [("c%d" % i,) for i in range(20)], "conv_id string"
+    )
+    out = expand_questions(
+        docs, registry_df(spark), choose="random", seed=13
+    ).select("conv_id", "qa_id", "variant_idx", "questions")
+    for r in out.collect():
+        want = _variant_indices(
+            r["conv_id"], r["qa_id"], r["questions"], "random", 13
+        )[0]
+        assert r["variant_idx"] == want, (r["conv_id"], r["qa_id"])
+
+
+def test_expand_questions_all_explodes_every_variant(spark):
+    docs = spark.createDataFrame([("c1",)], "conv_id string")
+    out = expand_questions(docs, registry_df(spark), choose="all")
+    assert out.count() == N_VARIANTS
+    got = {
+        (r["qa_id"], r["variant_idx"], r["question"])
+        for r in out.collect()
+    }
+    want = {
+        (p.qa_id, i, q)
+        for p in DEFAULT_PREDICATES
+        for i, q in enumerate(p.questions)
+    }
+    assert got == want

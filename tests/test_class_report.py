@@ -1,0 +1,66 @@
+"""Per-document-class sheet artifact (reference Excel sink,
+qa_model.py:388-436): the pivoted frames materialize to files and read
+back equal to the in-engine pivot."""
+import os
+
+from information_extraction_t5_spark.sources.report import (
+    pivoted_class_frame,
+    write_class_report,
+    write_frame_csv,
+)
+
+
+def _preds(spark):
+    rows = [
+        ("d1", "matriculas.cpf", "[CPF/CNPJ]: 111", "[CPF/CNPJ]: 111", 0.9),
+        ("d1", "matriculas.nome", "[Nome]: Ana", "[Nome]: Ana Maria", 0.8),
+        ("d2", "matriculas.cpf", "[CPF/CNPJ]: 222", "[CPF/CNPJ]: 999", 0.7),
+        ("d2", "matriculas.nome", "[Nome]: Bia", "[Nome]: Bia", 0.95),
+        ("d3", "certidoes.data", "[Data de Emissão]: 01/02/2020",
+         "[Data de Emissão]: 01/02/2020", 0.99),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "document_id string, example_id string, label string, "
+        "prediction string, prob double",
+    )
+
+
+def test_pivoted_class_frame_values(spark):
+    pdf = pivoted_class_frame(_preds(spark), "matriculas").toPandas()
+    assert list(pdf["document_id"]) == ["d1", "d2"]
+    row = pdf.set_index("document_id")
+    assert row.loc["d1", "cpf_exact"] == 1
+    assert row.loc["d1", "nome_exact"] == 0
+    assert row.loc["d2", "cpf_exact"] == 0
+    assert row.loc["d2", "nome_exact"] == 1
+    assert abs(row.loc["d2", "nome_f1"] - 1.0) < 1e-9
+    assert row.loc["d1", "cpf_prob"] == 0.9
+
+
+def test_write_class_report_round_trip(spark, tmp_path):
+    out = write_class_report(_preds(spark), str(tmp_path / "report"))
+    assert set(out) == {"matriculas", "certidoes"}
+    for cls, path in out.items():
+        assert os.path.exists(path)
+        back = spark.read.option("header", True).csv(path)
+        frame = pivoted_class_frame(_preds(spark), cls)
+        assert back.count() == frame.count()
+        assert back.columns == frame.columns
+    # spot-check a value survives the round trip
+    back = (
+        spark.read.option("header", True)
+        .csv(out["matriculas"])
+        .toPandas()
+        .set_index("document_id")
+    )
+    assert back.loc["d2", "nome_prediction"] == "[Nome]: Bia"
+    assert back.loc["d1", "cpf_exact"] == "1"
+
+
+def test_write_frame_csv_single_file(spark, tmp_path):
+    df = spark.range(10).toDF("id")
+    path = str(tmp_path / "one.csv")
+    write_frame_csv(df, path)
+    assert os.path.isfile(path)
+    assert spark.read.option("header", True).csv(path).count() == 10

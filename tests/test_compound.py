@@ -81,3 +81,44 @@ def test_group_keys():
     assert compound.group_keys("form.agencia", group_by_typenames=False) == [
         "form.agencia"
     ]
+
+
+def test_group_keys_expr_matches_kernel(spark):
+    """The pure-expression group keys (postprocess.group_keys_expr) must
+    equal core/compound.group_keys on every id shape, duplicates and order
+    included."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_t5_spark.operators.postprocess import (
+        group_keys_expr,
+    )
+
+    ids = [
+        "form", "form.agencia", "form.endereco~estado", "form.nome_2",
+        "form.nome_2*", "form.x_2~tn", "form.x_2~tn*", "seg.building_10",
+        "a_b_3", "x_", "x_*", "_5", "form.nome_02", "a~", "a_1~",
+        "form.endereco~logradouro*", "p.q_0", "p.q_0*", "p.q_0~cep",
+        "p.q_0~cep*", "no_dot_7", "trailing_star*",
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "ex string")
+    got = {
+        r["ex"]: list(r["keys"])
+        for r in df.select(
+            "ex", group_keys_expr(F.col("ex")).alias("keys")
+        ).collect()
+    }
+    for i in ids:
+        assert got[i] == compound.group_keys(i), i
+
+    got_off = {
+        r["ex"]: list(r["keys"])
+        for r in df.select(
+            "ex",
+            group_keys_expr(F.col("ex"), group_by_typenames=False)
+            .alias("keys"),
+        ).collect()
+    }
+    for i in ids:
+        assert got_off[i] == compound.group_keys(
+            i, group_by_typenames=False
+        ), i

@@ -53,3 +53,34 @@ def test_registry_join_broadcasts(spark):
     )
     plan = _plan(expand_questions(windows, registry_df(spark)))
     assert "BroadcastExchange" in plan
+
+
+def test_group_keys_plan_has_no_python(spark):
+    """with_group_keys must stay whole-stage-codegen: no BatchEvalPython
+    (the r1 UDF) anywhere in the plan."""
+    from information_extraction_t5_spark.operators.postprocess import (
+        with_group_keys,
+    )
+
+    df = spark.createDataFrame(
+        [("form.nome_2*",), ("form.endereco~cep",)], "example_id string"
+    )
+    plan = _plan(with_group_keys(df))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_embedding_dedup_is_blocked_not_cartesian(spark):
+    """The default embedding near-dup path must join on (table, bucket) —
+    never an unconditioned self-join (the r1 scale-killer)."""
+    from information_extraction_t5_spark.operators.dedup import (
+        embedding_dedup_pairs,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, -0.5, float(i % 5)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(embedding_dedup_pairs(vecs, "vec_id", "embedding"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
