@@ -956,8 +956,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash_pairs"] = dedup_simhash_pairs
 
     def dedup_jaccard_pairs(spark, sf):
-        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-        return dd.jaccard_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+        # planted near-dups (10 copies with one word appended: word-3gram
+        # jaccard ~0.98) so the operator provably fires; the oracle replays
+        # the md5 minhash BLOCKING too, so parity holds even for pairs the
+        # bands happen to drop
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select(
+            "doc_id", "text"
+        )
+        copies = d.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" duplicado")).alias("text"),
+        )
+        return dd.jaccard_dedup_pairs(
+            d.unionByName(copies), "doc_id", "text", threshold=0.5
+        )
     q["dedup_jaccard_pairs"] = dedup_jaccard_pairs
 
     def ann_lsh_topk(spark, sf):
@@ -972,6 +984,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = mm.synthetic_media_df(spark, n=48)
         return mm.extract_features(media)
     q["media_features"] = media_features
+
+    def eval_rollup_grouped(spark, sf):
+        # the full eval chain — score -> with_group_keys (expression form)
+        # -> grouping-sets rollup — over planted ids covering every
+        # group-key branch; the SQL-checkable analogue of kg_eval_rollup
+        # (whose transcript inputs DuckDB doesn't see)
+        from information_extraction_t5_spark.functions.metrics import score
+        from information_extraction_t5_spark.operators.postprocess import (
+            with_group_keys,
+        )
+        d = _t(spark, sf, "documents")
+        base = F.concat(
+            F.lit("cls."), F.col("lang"), F.lit("_"),
+            (F.col("doc_id") % 3).cast("string"),
+        )
+        ex = (
+            F.when(F.col("doc_id") % 4 == 1, F.concat(base, F.lit("~cep")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(base, F.lit("*")))
+            .when(F.col("doc_id") % 4 == 3, F.concat(base, F.lit("~cep*")))
+            .otherwise(base)
+        )
+        paired = d.select(
+            F.col("doc_id").cast("string").alias("document_id"),
+            ex.alias("example_id"),
+            F.substring("text", 1, 60).alias("label"),
+            F.regexp_replace(F.substring("text", 1, 60), "the", "a")
+            .alias("prediction"),
+        )
+        scored = score(with_group_keys(paired), exact_f1=False).withColumn(
+            "f1r", F.round("f1", 6)
+        )
+        # integer-exact aggregates (hit counts + micro-scaled f1 sum):
+        # avg-of-doubles lands on rounding boundaries across engines
+        return scored.rollup("group_key").agg(
+            F.sum("exact").cast("bigint").alias("exact_hits"),
+            F.round(F.sum("f1r") * 1000000).cast("bigint").alias("f1_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+        )
+    q["eval_rollup_grouped"] = eval_rollup_grouped
 
     # ---- question-paraphrase selection (reference choose_question,
     #      basic_to_squad.py:16-41) ----
@@ -1768,6 +1819,135 @@ def oracle_sql() -> dict[str, str]:
                cast(bit_count(xor(a.fp, b.fp)) as int) as hamming
         from fp a join fp b on a.doc_id < b.doc_id
         where bit_count(xor(a.fp, b.fp)) <= 3
+    """
+
+    # ---- full eval chain: planted group keys -> exact/f1 -> rollup ----
+    _f1row = """case
+          when len(gt) = 0 and len(pt) = 0 then 1.0
+          when len(gt) = 0 or len(pt) = 0 then 0.0
+          when len(list_intersect(gt, pt)) = 0 then 0.0
+          else 2 * (cast(len(list_intersect(gt, pt)) as double) / len(pt))
+                 * (cast(len(list_intersect(gt, pt)) as double) / len(gt))
+               / ((cast(len(list_intersect(gt, pt)) as double) / len(pt))
+                  + (cast(len(list_intersect(gt, pt)) as double) / len(gt)))
+        end"""
+    o["eval_rollup_grouped"] = f"""
+        with e as (
+          select doc_id, lang, text,
+                 'cls.' || lang || '_' || cast(doc_id % 3 as varchar)
+                 || case doc_id % 4 when 1 then '~cep' when 2 then '*'
+                                    when 3 then '~cep*' else '' end as ex
+          from documents),
+        p as (
+          select doc_id, ex,
+                 contains(ex, '~') as has_t,
+                 case when contains(ex, '~')
+                      then regexp_replace(ex, '~[^~]*$', '') else ex
+                 end as base,
+                 case when contains(ex, '~')
+                      then regexp_extract(ex, '~([^~]*)$', 1) end as comp
+          from e),
+        q2 as (
+          select *,
+                 case when contains(base, '_')
+                      then regexp_extract(base, '_([^_]*)$', 1) end as tail,
+                 regexp_replace(base, '_[^_]*$', '') as stem
+          from p),
+        r2 as (
+          select *,
+                 tail is not null and tail like '%*' as starred,
+                 case when not has_t and tail like '%*'
+                      then substring(tail, 1, length(tail) - 1)
+                      else tail end as tail2
+          from q2),
+        k as (
+          select doc_id,
+            (case when not has_t
+                  then [string_split(ex, '.')[1]]
+                  else [] end)
+            || [ex]
+            || (case when tail is not null
+                      and regexp_matches(tail2, '^\\s*[+-]?[0-9]+\\s*$')
+                 then [stem || case when has_t then '~' || comp
+                                    when starred then '*'
+                                    else '' end]
+                 else [] end) as keys
+          from r2),
+        g as (
+          select doc_id, u.group_key
+          from k, lateral unnest(keys) as u(group_key)),
+        m as (
+          select doc_id,
+                 case when {_norm_sql("substring(text, 1, 60)")}
+                      = {_norm_sql(
+                          "regexp_replace(substring(text, 1, 60), 'the', 'a', 'g')"
+                        )}
+                      then 1 else 0 end as exact,
+                 {_toks60} as gt, {_toks60p} as pt
+          from documents),
+        s as (
+          select g.group_key, m.exact, round({_f1row}, 6) as f1r
+          from g join m on m.doc_id = g.doc_id)
+        select group_key,
+               cast(sum(exact) as bigint) as exact_hits,
+               cast(round(sum(f1r) * 1000000) as bigint) as f1_micro,
+               cast(count(*) as bigint) as total
+        from s group by rollup(group_key)
+    """
+
+    # ---- jaccard near-dup: the oracle replays the md5 minhash banding
+    # (16 hashes, 8 bands of 2) AND the exact word-3gram verify, so the
+    # candidate set matches pair-for-pair ----
+    _sig16 = ",\n                 ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min')"
+        for i in range(16)
+    )
+    o["dedup_jaccard_pairs"] = f"""
+        with d as (
+          select doc_id, text from documents where doc_id < 200
+          union all
+          select doc_id + 1000000, text || ' duplicado'
+          from documents where doc_id < 10),
+        sh as (
+          select doc_id,
+                 list_transform(
+                   generate_series(1, greatest(length(lower(text)) - 2, 1)),
+                   i -> substring(lower(text), i, 3)) as s
+          from d),
+        sig as (
+          select doc_id, [
+                 {_sig16}
+               ] as g
+          from sh),
+        bands as (
+          select doc_id, b.band,
+                 array_to_string(
+                   list_slice(g, b.band * 2 + 1, b.band * 2 + 2), '|')
+                   as band_key
+          from sig, lateral unnest(generate_series(0, 7)) as b(band)),
+        cand as (
+          select distinct l.doc_id as id_a, r.doc_id as id_b
+          from bands l
+          join bands r
+            on l.band = r.band and l.band_key = r.band_key
+           and l.doc_id < r.doc_id),
+        toks as (
+          select doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+                   as g3
+          from (select doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') as tk
+                from d)),
+        scored as (
+          select c.id_a, c.id_b,
+                 cast(len(list_intersect(a.g3, b.g3)) as double)
+                   / len(list_distinct(a.g3 || b.g3)) as jaccard
+          from cand c
+          join toks a on a.doc_id = c.id_a
+          join toks b on b.doc_id = c.id_b)
+        select id_a, id_b, jaccard from scored where jaccard >= 0.5
     """
 
     # ---- ANN oracles: the seeded hyperplanes / deterministic centroids
