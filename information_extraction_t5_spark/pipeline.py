@@ -61,6 +61,8 @@ class PipelineConfig:
     extractor: str = "regex"
     model_name: Optional[str] = None
     model_cost_ms: float = 0.0   # emulated per-window model latency (bench)
+    choose_question: str = "first"   # 'first' | 'random' | 'all' paraphrase
+    question_seed: int = 13          # seed for the 'random' md5 draw
     link_predicates: List[str] = field(
         default_factory=lambda: ["form.endereco.estado"]
     )
@@ -89,6 +91,8 @@ def extract_candidates(spark: SparkSession, transcripts: DataFrame,
         docs, cfg.window,
         extractor=cfg.extractor, model_name=cfg.model_name,
         model_cost_ms=cfg.model_cost_ms,
+        choose_question=cfg.choose_question,
+        question_seed=cfg.question_seed,
     )
 
 
@@ -219,6 +223,8 @@ def run_pipeline(
             scored = run_extraction(
                 windows, extractor=cfg.extractor, model_name=cfg.model_name,
                 model_cost_ms=cfg.model_cost_ms,
+                choose_question=cfg.choose_question,
+                question_seed=cfg.question_seed,
             ).localCheckpoint()
         else:
             # single-consumer lineage: the triples checkpoint below
@@ -238,7 +244,9 @@ def run_pipeline(
             "stage_extract",
             lambda: run_extraction(windows, extractor=cfg.extractor,
                                    model_name=cfg.model_name,
-                                   model_cost_ms=cfg.model_cost_ms),
+                                   model_cost_ms=cfg.model_cost_ms,
+                                   choose_question=cfg.choose_question,
+                                   question_seed=cfg.question_seed),
         )
     else:
         scored = catalog.stage(

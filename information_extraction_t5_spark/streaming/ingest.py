@@ -135,3 +135,89 @@ def compact_streamed_triples(spark, triples_path: str, catalog,
     catalog.write(final, "stream_canonical")
     materialize_graph(final, catalog, cfg)
     return catalog.read("stream_canonical")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: count-based conversation chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_SCHEMA = "conv_id string, chunk_id int, n_turns int, text string"
+_CHUNK_STATE_SCHEMA = "turn_idxs array<int>, texts array<string>, next_chunk int"
+
+
+def chunked_conversations(
+    stream: DataFrame,
+    chunk_turns: int = 8,
+    timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Stateful COUNT-based chunking per conversation via
+    ``applyInPandasWithState`` — the custom-stateful-operator path that
+    built-in windows cannot express (session/tumbling windows split by
+    TIME; a model-feeding pipeline wants "emit every N turns").
+
+    Per conv_id the state buffers pending (turn_idx, text) pairs across
+    micro-batches; chunk k emits as soon as ALL of its turns
+    [k*chunk_turns, (k+1)*chunk_turns) have arrived — deterministic chunk
+    membership under out-of-order / cross-batch arrival (turn_idx is the
+    order authority, same stable-order invariant as batch assembly; the
+    shuffle into the stateful operator gives NO arrival-order guarantee).
+    A processing-time timeout flushes the trailing partial chunk when the
+    conversation goes quiet; state is then dropped, bounding memory at
+    O(active conversations x pending turns).
+    """
+    import pandas as pd  # noqa: F811 - executor-side import
+
+    def fn(key, pdfs, state):
+        conv_id = key[0]
+        out = {"conv_id": [], "chunk_id": [], "n_turns": [], "text": []}
+
+        def emit(chunk_id, ordered_idxs, pending):
+            out["conv_id"].append(conv_id)
+            out["chunk_id"].append(chunk_id)
+            out["n_turns"].append(len(ordered_idxs))
+            out["text"].append(
+                "\n".join(pending[j] for j in ordered_idxs)
+            )
+
+        if state.hasTimedOut:
+            idxs, texts, next_chunk = state.get
+            state.remove()
+            if len(idxs):
+                pending = dict(zip(idxs, texts))
+                emit(next_chunk, sorted(pending), pending)
+            yield pd.DataFrame(out)
+            return
+
+        if state.exists:
+            idxs, texts, next_chunk = state.get
+            pending = dict(zip(idxs, texts))
+        else:
+            pending, next_chunk = {}, 0
+
+        for pdf in pdfs:
+            for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
+                pending[int(ti)] = tx
+
+        while True:
+            want = range(next_chunk * chunk_turns,
+                         (next_chunk + 1) * chunk_turns)
+            if not all(j in pending for j in want):
+                break
+            emit(next_chunk, list(want), pending)
+            for j in want:
+                del pending[j]
+            next_chunk += 1
+
+        state.update(
+            (list(pending.keys()), list(pending.values()), next_chunk)
+        )
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(out)
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=CHUNK_SCHEMA,
+        stateStructType=_CHUNK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )

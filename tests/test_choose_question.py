@@ -95,3 +95,25 @@ def test_expand_questions_all_explodes_every_variant(spark):
         for i, q in enumerate(p.questions)
     }
     assert got == want
+
+
+def test_pipeline_choose_all_same_triples(spark):
+    """With the question-invariant regex model, 'all' paraphrases produce
+    duplicate candidates that top-1 collapses — final triples identical."""
+    from information_extraction_t5_spark.data import synth
+    from information_extraction_t5_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    t = synth.transcripts_df(spark, 12)
+    base = run_pipeline(spark, t, PipelineConfig(fuzzy_link=False))
+    alld = run_pipeline(
+        spark, t,
+        PipelineConfig(fuzzy_link=False, choose_question="all"),
+    )
+    cols = ["conv_id", "pred", "obj", "subj"]
+    a = sorted(map(tuple, base.select(*cols).collect()))
+    b = sorted(map(tuple, alld.select(*cols).collect()))
+    assert a == b
+    assert len(a) > 0

@@ -41,3 +41,56 @@ def test_sessionized_stream(spark, tmp_path):
     for cid, row in by_conv.items():
         assert row["text"] == "\n".join(synth.document_lines(cid))
         assert row["n_turns"] == len(synth.conversation_turns(cid))
+
+
+def test_chunked_conversations_stateful(spark, tmp_path):
+    """applyInPandasWithState count-chunker: full chunks emit in turn
+    order; the partial remainder stays buffered (flushes on timeout in
+    continuous operation)."""
+    from information_extraction_t5_spark.streaming.ingest import (
+        chunked_conversations,
+    )
+
+    src = str(tmp_path / "chunk_src")
+    pdf = synth.transcripts_pdf(2)  # conv_00000/00001, 10+ turns each
+    spark.createDataFrame(pdf, synth.TRANSCRIPTS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = stream_transcripts_from_files(
+        spark, src, synth.TRANSCRIPTS_SCHEMA
+    )
+    chunks = chunked_conversations(stream, chunk_turns=4)
+
+    query = (
+        chunks.writeStream.format("memory")
+        .queryName("chunk_out_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = spark.sql(
+        "select * from chunk_out_test order by conv_id, chunk_id"
+    ).collect()
+    assert len(got) > 0
+    for cid in {r["conv_id"] for r in got}:
+        turns = sorted(
+            synth.conversation_turns(cid), key=lambda t: t["turn_idx"]
+        )
+        texts = [t["text"] for t in turns]
+        rows = [r for r in got if r["conv_id"] == cid]
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        n_full = len(texts) // 4
+        # full chunks emit from data alone, in stable turn order
+        for i, r in enumerate(rows[:n_full]):
+            assert r["n_turns"] == 4
+            assert r["text"] == "\n".join(texts[i * 4:(i + 1) * 4])
+        # the trailing partial chunk may flush if the processing-time
+        # timeout fires before the query drains — when it does, it must
+        # carry exactly the remaining turns
+        assert len(rows) in (n_full, n_full + (1 if len(texts) % 4 else 0))
+        for r in rows[n_full:]:
+            assert r["n_turns"] == len(texts) % 4
+            assert r["text"] == "\n".join(texts[n_full * 4:])
