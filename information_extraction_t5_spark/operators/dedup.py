@@ -188,7 +188,8 @@ def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
                           bucketed: bool = True,
                           n_planes: int = 8, n_tables: int = 4,
-                          seed: int = 42) -> DataFrame:
+                          seed: int = 42,
+                          dim: int = 0) -> DataFrame:
     """Cosine near-dup pairs, hyperplane-LSH blocked by default.
 
     Each of ``n_tables`` hash tables assigns a random-hyperplane sign
@@ -216,12 +217,13 @@ def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("cos") >= threshold)
         )
 
-    dim_row = v.select(F.size("vec").alias("d")).head()
-    if dim_row is None:  # empty input
-        return v.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cos double"
-        )
-    dim = dim_row["d"]
+    if dim <= 0:  # probe one row for the dimension (pass dim to skip)
+        dim_row = v.select(F.size("vec").alias("d")).head()
+        if dim_row is None:  # empty input
+            return v.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos double"
+            )
+        dim = dim_row["d"]
     from information_extraction_t5_spark.functions.vectors import (
         hyperplane_sign_bits,
     )

@@ -96,6 +96,8 @@ def stream_pipeline(
         scored = run_extraction_from_documents(
             docs, cfg.window, extractor=cfg.extractor,
             model_name=cfg.model_name, model_cost_ms=cfg.model_cost_ms,
+            choose_question=cfg.choose_question,
+            question_seed=cfg.question_seed,
         )
         best = top1_window(
             scored.select("conv_id", "qa_id", "window_id",
