@@ -39,7 +39,6 @@ exec spark-submit \
   --py-files "$PKG_ZIP" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.adaptive.skewJoin.enabled=true \
-  --conf spark.sql.adaptive.coalescePartitions.parallelismFirst=false \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   "$REPO/scripts/run_kg_job.py" \
   --input "$INPUT" --warehouse "$WAREHOUSE"

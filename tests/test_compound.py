@@ -122,3 +122,35 @@ def test_group_keys_expr_matches_kernel(spark):
         assert got_off[i] == compound.group_keys(
             i, group_by_typenames=False
         ), i
+
+
+def test_group_keys_expr_property(spark):
+    """Property check: expression form == kernel on arbitrary ids drawn
+    from the id alphabet (dots, underscores, tildes, stars, digits, signs,
+    spaces) — duplicates and ordering included."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from information_extraction_t5_spark.operators.postprocess import (
+        group_keys_expr,
+    )
+
+    ids_strategy = st.lists(
+        st.text(alphabet="abz019._~* +-", min_size=0, max_size=24),
+        min_size=1, max_size=60,
+    )
+
+    @given(ids_strategy)
+    @settings(max_examples=12, deadline=None)
+    def check(ids):
+        df = spark.createDataFrame([(i,) for i in ids], "ex string")
+        got = [
+            (r["ex"], list(r["keys"]))
+            for r in df.select(
+                "ex", group_keys_expr(F.col("ex")).alias("keys")
+            ).collect()
+        ]
+        for ex, keys in got:
+            assert keys == compound.group_keys(ex), repr(ex)
+
+    check()
