@@ -985,6 +985,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mm.extract_features(media)
     q["media_features"] = media_features
 
+    def dedup_cluster_survivors(spark, sf):
+        # cluster-level near-dedup: LSH pairs -> connected components ->
+        # min-id survivor per cluster.  The oracle replays the blocking and
+        # computes the closure with a recursive CTE — the one hash-checked
+        # query that exercises star-contraction CC end-to-end
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select(
+            "doc_id", "text"
+        )
+        copies = d.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" duplicado")).alias("text"),
+        )
+        return dd.near_dedup_survivors(
+            d.unionByName(copies), "doc_id", "text", threshold=0.5
+        ).select("doc_id")
+    q["dedup_cluster_survivors"] = dedup_cluster_survivors
+
     def eval_rollup_grouped(spark, sf):
         # the full eval chain — score -> with_group_keys (expression form)
         # -> grouping-sets rollup — over planted ids covering every
@@ -1902,8 +1919,7 @@ def oracle_sql() -> dict[str, str]:
         f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min')"
         for i in range(16)
     )
-    o["dedup_jaccard_pairs"] = f"""
-        with d as (
+    _jacc_ctes = f"""d as (
           select doc_id, text from documents where doc_id < 200
           union all
           select doc_id + 1000000, text || ' duplicado'
@@ -1946,8 +1962,32 @@ def oracle_sql() -> dict[str, str]:
                    / len(list_distinct(a.g3 || b.g3)) as jaccard
           from cand c
           join toks a on a.doc_id = c.id_a
-          join toks b on b.doc_id = c.id_b)
+          join toks b on b.doc_id = c.id_b)"""
+    o["dedup_jaccard_pairs"] = f"""
+        with {_jacc_ctes}
         select id_a, id_b, jaccard from scored where jaccard >= 0.5
+    """
+
+    # cluster survivors: same replayed pairs, transitive closure via a
+    # recursive CTE, min-id survivor per component
+    o["dedup_cluster_survivors"] = f"""
+        with recursive {_jacc_ctes},
+        pairs as (
+          select id_a, id_b from scored where jaccard >= 0.5),
+        e as (
+          select id_a as a, id_b as b from pairs
+          union
+          select id_b, id_a from pairs),
+        reach(a, b) as (
+          select a, b from e
+          union
+          select r.a, e2.b from reach r join e e2 on e2.a = r.b),
+        lab as (
+          select a as node, least(a, min(b)) as comp
+          from reach group by a)
+        select d2.doc_id from d d2
+        left join lab on lab.node = d2.doc_id
+        where lab.comp is null or lab.comp = d2.doc_id
     """
 
     # ---- ANN oracles: the seeded hyperplanes / deterministic centroids

@@ -115,6 +115,8 @@ class Catalog:
                     "table": name,
                     "rows": rows,
                     "seconds": commit.seconds,
+                    "rows_per_sec": round(rows / max(commit.seconds, 1e-9),
+                                          1),
                     "partitions": nparts,
                     "partition_by": partition_by or [],
                     "committed_at": time.time(),

@@ -266,3 +266,28 @@ def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def near_dedup_survivors(df: DataFrame, id_col: str, text_col: str,
+                         threshold: float = 0.8, n: int = 3,
+                         n_hashes: int = 16, bands: int = 8) -> DataFrame:
+    """Cluster-level near-duplicate removal: keep the min-id document per
+    near-dup CLUSTER (transitive closure of verified pairs), not per pair.
+
+    jaccard pairs (LSH-blocked, exact verify) -> star-contraction connected
+    components (O(log n) rounds) -> anti-join the non-minimal members.
+    Pairwise dedup under-deletes chains (a~b, b~c with a!~c); the closure
+    is the semantics an LLM-training corpus wants.  Shuffles: the blocked
+    candidate join + the CC rounds — ids only, never text.
+    """
+    from information_extraction_t5_spark.operators.canonicalize import (
+        connected_components_star,
+    )
+
+    pairs = jaccard_dedup_pairs(df, id_col, text_col, threshold, n,
+                                n_hashes, bands)
+    comps = connected_components_star(pairs, "id_a", "id_b")
+    losers = comps.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

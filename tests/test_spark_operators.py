@@ -288,3 +288,45 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         mm.decode_real(b"x", "image")
+
+
+def test_near_dedup_survivors_chain(spark):
+    """Cluster-level dedup follows the transitive closure: a~b and b~c put
+    a,b,c in ONE cluster even when a!~c directly — only min(id) survives.
+    Pairwise dedup would under-delete here."""
+    from information_extraction_t5_spark.operators.dedup import (
+        jaccard_dedup_pairs,
+        near_dedup_survivors,
+    )
+
+    # 20 distinct words; an interior word change kills exactly 3 of the 18
+    # word-3grams.  mid = base w/ word5 changed (j=15/21=0.714); far = mid
+    # w/ word15 changed (j(2,3)=0.714, j(1,3)=12/24=0.5 < 0.6)
+    base = [f"palavra{i:02d}" for i in range(20)]
+    mid = list(base); mid[5] = "trocada5"
+    far = list(mid); far[15] = "trocada15"
+    texts = {
+        1: " ".join(base),     # ~ 2
+        2: " ".join(mid),      # ~ 1 and ~ 3
+        3: " ".join(far),      # ~ 2, NOT ~ 1
+        4: "texto completamente diferente sobre um assunto sem relacao",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id int, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_dedup_pairs(
+            df, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert (1, 3) not in pairs  # the chain link only exists through 2
+
+    survivors = {
+        r["doc_id"]
+        for r in near_dedup_survivors(
+            df, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert survivors == {1, 4}
