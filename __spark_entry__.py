@@ -985,6 +985,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mm.extract_features(media)
     q["media_features"] = media_features
 
+    def kmeans_cells(spark, sf):
+        # distributed Lloyd's k-means (deterministic seeding, 2 rounds) +
+        # final cell assignment; the oracle replays both rounds in SQL
+        e = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        cents = sim.kmeans_fit(e, k=8, iters=2)
+        return sim.ivf_assign(e, cents).select(
+            "vec_id", F.col("cell").cast("int").alias("cell")
+        )
+    q["kmeans_cells"] = kmeans_cells
+
     def dedup_cluster_survivors(spark, sf):
         # cluster-level near-dedup: LSH pairs -> connected components ->
         # min-id survivor per cluster.  The oracle replays the blocking and
@@ -1910,6 +1922,58 @@ def oracle_sql() -> dict[str, str]:
                cast(round(sum(f1r) * 1000000) as bigint) as f1_micro,
                cast(count(*) as bigint) as total
         from s group by rollup(group_key)
+    """
+
+    # ---- distributed k-means: the oracle unrolls Lloyd's rounds in SQL
+    # (assignment = argmax cosine, first-max tiebreak; update = per-(cell,
+    # dim) mean; empty cells keep the previous centroid) ----
+    def _kmeans_round(i: int, prev: str) -> str:
+        return f"""
+        s{i} as (
+          select vd.vec_id, c.cell, sum(vd.val * c.val) as dot,
+                 sqrt(sum(c.val * c.val)) as nc
+          from vd join {prev} c on c.dim = vd.dim
+          group by vd.vec_id, c.cell),
+        a{i} as (
+          select vec_id, cell from (
+            select s.vec_id, s.cell,
+                   row_number() over (
+                     partition by s.vec_id
+                     order by s.dot / (nv.nrm * s.nc) desc, s.cell asc) as rn
+            from s{i} s join nv on nv.vec_id = s.vec_id) t
+          where rn = 1),
+        m{i} as (
+          select a.cell, vd.dim, avg(vd.val) as val
+          from a{i} a join vd on vd.vec_id = a.vec_id
+          group by a.cell, vd.dim),
+        c{i} as (
+          select c.cell, c.dim, coalesce(m.val, c.val) as val
+          from {prev} c
+          left join m{i} m on m.cell = c.cell and m.dim = c.dim)"""
+
+    _rounds = ",".join(_kmeans_round(i, f"c{i-1}") for i in (1, 2))
+    o["kmeans_cells"] = f"""
+        with v as (select vec_id, embedding::double[] as e from embeddings),
+        vd as (
+          select vec_id, d.i as dim, e[d.i] as val
+          from v, lateral unnest(generate_series(1, len(e))) as d(i)),
+        nv as (
+          select vec_id, sqrt(sum(val * val)) as nrm
+          from vd group by vec_id),
+        c0 as (select vec_id as cell, dim, val from vd where vec_id < 8),
+        {_rounds},
+        sf as (
+          select vd.vec_id, c.cell, sum(vd.val * c.val) as dot,
+                 sqrt(sum(c.val * c.val)) as nc
+          from vd join c2 c on c.dim = vd.dim
+          group by vd.vec_id, c.cell)
+        select vec_id, cast(cell as int) as cell from (
+          select s.vec_id, s.cell,
+                 row_number() over (
+                   partition by s.vec_id
+                   order by s.dot / (nv.nrm * s.nc) desc, s.cell asc) as rn
+          from sf s join nv on nv.vec_id = s.vec_id) t
+        where rn = 1
     """
 
     # ---- jaccard near-dup: the oracle replays the md5 minhash banding
