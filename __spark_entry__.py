@@ -985,6 +985,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mm.extract_features(media)
     q["media_features"] = media_features
 
+    def winnow_fingerprints(spark, sf):
+        # rolling-hash winnowing fingerprints (MOSS): k-gram hashes ->
+        # per-window minima -> sorted distinct selection, joined to a
+        # hash-able string
+        d = _t(spark, sf, "documents")
+        fps = ts.winnowing_fingerprints(
+            F.substring(F.col("text"), 1, 300), k=5, w=4
+        )
+        return d.select(
+            "doc_id",
+            F.array_join(
+                F.transform(fps, lambda x: x.cast("string")), "|"
+            ).alias("fps"),
+        )
+    q["winnow_fingerprints"] = winnow_fingerprints
+
     def kmeans_cells(spark, sf):
         # distributed Lloyd's k-means (deterministic seeding, 2 rounds) +
         # final cell assignment; the oracle replays both rounds in SQL
@@ -1922,6 +1938,30 @@ def oracle_sql() -> dict[str, str]:
                cast(round(sum(f1r) * 1000000) as bigint) as f1_micro,
                cast(count(*) as bigint) as total
         from s group by rollup(group_key)
+    """
+
+    # ---- winnowing fingerprints: the oracle replays k-gram hashing,
+    # window minima and the distinct selection ----
+    o["winnow_fingerprints"] = """
+        with t as (
+          select doc_id,
+                 lower(trim(regexp_replace(substring(text, 1, 300),
+                                           '\\s+', ' ', 'g'))) as nrm
+          from documents),
+        h as (
+          select doc_id,
+                 list_transform(
+                   generate_series(1, greatest(length(nrm) - 4, 1)),
+                   i -> ('0x' || substring(md5(substring(nrm, i, 5)),
+                                           1, 8))::bigint) as hs
+          from t)
+        select doc_id,
+               array_to_string(
+                 list_sort(list_distinct(list_transform(
+                   generate_series(1, greatest(len(hs) - 3, 1)),
+                   j -> list_aggregate(list_slice(hs, j, j + 3), 'min')))),
+                 '|') as fps
+        from h
     """
 
     # ---- distributed k-means: the oracle unrolls Lloyd's rounds in SQL

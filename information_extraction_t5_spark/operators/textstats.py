@@ -162,3 +162,32 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         content_fingerprint(c).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS rolling-hash scheme) as pure expressions: hash every char k-gram
+    of the normalized text, slide a w-hash window, keep each window's
+    minimum; the sorted-distinct selection is the fingerprint set.
+
+    Guarantee: two documents sharing any substring of length >= w + k - 1
+    share at least one fingerprint — the local sampling makes the
+    fingerprint density ~2/(w+1) regardless of document length, so the
+    per-document payload stays O(len/w) at 100 TB.  md5-derived hashes
+    keep it engine-portable (oracle-replayable); swap xxhash64 in hot
+    paths.  Returns array<bigint>.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(norm, i, k)), 1, 8), 16, 10
+        ).cast("bigint"),
+    )
+    nw = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    sel = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_sort(F.array_distinct(sel))

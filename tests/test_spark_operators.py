@@ -330,3 +330,37 @@ def test_near_dedup_survivors_chain(spark):
         ).collect()
     }
     assert survivors == {1, 4}
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= w + k - 1 share at least one fingerprint; disjoint texts share
+    none (with overwhelming probability)."""
+    from information_extraction_t5_spark.operators.textstats import (
+        winnowing_fingerprints,
+    )
+    from pyspark.sql import functions as F
+
+    shared = "este trecho identico aparece em ambos os documentos"
+    rows = [
+        (1, "prefixo um qualquer " + shared + " sufixo alfa"),
+        (2, "outro comeco bem diferente " + shared + " final beta"),
+        # every 5-gram of doc 3 contains a digit -> provably no 5-gram in
+        # common with docs 1/2 (natural same-language text DOES share
+        # occasional k-grams, which is correct winnowing behavior)
+        (3, "aaa111 bbb222 ccc333 ddd444 eee555 fff666 ggg777 hhh888"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id",
+            winnowing_fingerprints(F.col("text"), k=5, w=4).alias("fps"),
+        ).collect()
+    }
+    assert got[1] & got[2], "shared substring must share a fingerprint"
+    assert not (got[1] & got[3])
+    assert not (got[2] & got[3])
+    # density: selection is a small subset of all k-gram hashes
+    n_grams = len(rows[0][1]) - 4
+    assert len(got[1]) < n_grams / 2
