@@ -84,3 +84,31 @@ def test_embedding_dedup_is_blocked_not_cartesian(spark):
     plan = _plan(embedding_dedup_pairs(vecs, "vec_id", "embedding"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_model_stage_parallelism_survives_aqe(spark):
+    """r1's hardest-won fix: AQE byte-coalescing must NOT collapse the
+    extraction (model) stage to one task.  Guard both the plan (an
+    explicit round-robin exchange owned by the UDF stage) and the runtime
+    partition spread of the stage output."""
+    from information_extraction_t5_spark.data import synth
+    from information_extraction_t5_spark.pipeline import (
+        PipelineConfig,
+        extract_candidates,
+    )
+
+    cfg = PipelineConfig()
+    transcripts = synth.transcripts_df(spark, 40)
+    scored = extract_candidates(spark, transcripts, cfg)
+
+    plan = _plan(scored)
+    assert "RoundRobinPartitioning" in plan
+
+    n_parts = (
+        scored.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    want = min(40, spark.sparkContext.defaultParallelism)
+    assert n_parts >= want, (
+        f"model stage ran in {n_parts} partitions; byte-coalescing "
+        f"collapse regressed (want >= {want})"
+    )
