@@ -985,6 +985,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mm.extract_features(media)
     q["media_features"] = media_features
 
+    def sample_docs_weighted(spark, sf):
+        # Efraimidis-Spirakis weighted sample without replacement,
+        # md5-deterministic (reservoir-sampling family; compiles to
+        # TakeOrdered — no full sort)
+        from information_extraction_t5_spark.operators.sampling import (
+            weighted_sample,
+        )
+        d = _t(spark, sf, "documents").withColumn(
+            "w", F.length("text").cast("double")
+        )
+        return weighted_sample(d, k=50, id_col="doc_id",
+                               weight_col="w").select("doc_id")
+    q["sample_docs_weighted"] = sample_docs_weighted
+
+    def sample_orders_per_customer(spark, sf):
+        # per-group uniform reservoir (k=3 per customer), one shuffle
+        from information_extraction_t5_spark.operators.sampling import (
+            grouped_sample,
+        )
+        o = _t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+        return grouped_sample(o, k=3, id_col="o_orderkey",
+                              group_cols=["o_custkey"])
+    q["sample_orders_per_customer"] = sample_orders_per_customer
+
     def winnow_fingerprints(spark, sf):
         # rolling-hash winnowing fingerprints (MOSS): k-gram hashes ->
         # per-window minima -> sorted distinct selection, joined to a
@@ -1938,6 +1962,34 @@ def oracle_sql() -> dict[str, str]:
                cast(round(sum(f1r) * 1000000) as bigint) as f1_micro,
                cast(count(*) as bigint) as total
         from s group by rollup(group_key)
+    """
+
+    # ---- deterministic sampling: the md5 draw replays exactly; the
+    # uniform per-group case compares INTEGER hashes (key = -ln(u) is
+    # monotone in u, so order-by-hash-desc is the float-free equivalent) --
+    o["sample_docs_weighted"] = """
+        with keyed as (
+          select doc_id,
+                 -ln(((('0x' || substring(md5(cast(doc_id as varchar)
+                        || ':42'), 1, 8))::bigint) + 1) / 4294967296.0)
+                   / cast(length(text) as double) as skey
+          from documents)
+        select doc_id from keyed
+        order by skey asc, doc_id asc limit 50
+    """
+
+    o["sample_orders_per_customer"] = """
+        with keyed as (
+          select o_custkey, o_orderkey,
+                 ('0x' || substring(md5(cast(o_orderkey as varchar)
+                    || ':42'), 1, 8))::bigint as h
+          from orders)
+        select o_custkey, o_orderkey from (
+          select o_custkey, o_orderkey,
+                 row_number() over (partition by o_custkey
+                                    order by h desc, o_orderkey asc) as rn
+          from keyed) t
+        where rn <= 3
     """
 
     # ---- winnowing fingerprints: the oracle replays k-gram hashing,

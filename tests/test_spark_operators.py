@@ -364,3 +364,54 @@ def test_winnowing_shared_substring_guarantee(spark):
     # density: selection is a small subset of all k-gram hashes
     n_grams = len(rows[0][1]) - 4
     assert len(got[1]) < n_grams / 2
+
+
+def test_weighted_sampling_bias_and_determinism(spark):
+    """E-S weighted sampling: heavy rows are drawn far more often, the
+    draw is identical across runs/partitionings, and per-group sampling
+    caps at k per group."""
+    from information_extraction_t5_spark.operators.sampling import (
+        grouped_sample,
+        weighted_sample,
+    )
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+
+    got = {r["id"] for r in weighted_sample(df, 100, "id", "w").collect()}
+    heavy = sum(1 for i in got if i < 50)
+    # 50 heavy rows carry 5000 of 5950 total weight; near-all are drawn
+    assert heavy >= 40
+    again = {
+        r["id"]
+        for r in weighted_sample(
+            df.repartition(17), 100, "id", "w"
+        ).collect()
+    }
+    assert got == again  # partitioning-invariant determinism
+
+    g = spark.createDataFrame(
+        [(i % 5, i) for i in range(200)], "grp int, id bigint"
+    )
+    per = grouped_sample(g, 3, "id", ["grp"])
+    counts = {r["grp"]: r["n"] for r in per.groupBy("grp")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v == 3 for v in counts.values()) and len(counts) == 5
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """Global sampling must compile to TakeOrdered (map-side heaps), not a
+    full sort."""
+    import io
+    import sys
+
+    from information_extraction_t5_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(10000).withColumn("w", (F.col("id") % 7 + 1).cast("double"))
+    buf, old = io.StringIO(), sys.stdout
+    sys.stdout = buf
+    weighted_sample(df, 10, "id", "w").explain("formatted")
+    sys.stdout = old
+    assert "TakeOrderedAndProject" in buf.getvalue()
