@@ -985,6 +985,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mm.extract_features(media)
     q["media_features"] = media_features
 
+    def value_quantiles(spark, sf):
+        # exact interpolated percentiles per group (sorts/agg family)
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    q["value_quantiles"] = value_quantiles
+
+    def curation_sample(spark, sf):
+        # capstone training-data curation: exact dedup -> quality &
+        # language scoring -> quality gate -> per-language quota sample;
+        # every stage is an already-oracle-proven operator, composed
+        from information_extraction_t5_spark.operators.dedup import (
+            exact_dedup,
+        )
+        from information_extraction_t5_spark.operators.sampling import (
+            grouped_sample,
+        )
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        ded = exact_dedup(d, "doc_id", "text")
+        scored = ded.select(
+            "doc_id",
+            ts.quality_score(F.col("text")).alias("quality"),
+            ts.language_id(F.col("text")).alias("lang_guess"),
+        ).filter(F.col("quality") >= 0.5)
+        samp = grouped_sample(scored, k=20, id_col="doc_id",
+                              group_cols=["lang_guess"])
+        return samp.select("doc_id", "lang_guess", "quality")
+    q["curation_sample"] = curation_sample
+
     def sample_docs_weighted(spark, sf):
         # Efraimidis-Spirakis weighted sample without replacement,
         # md5-deterministic (reservoir-sampling family; compiles to
@@ -1962,6 +1994,54 @@ def oracle_sql() -> dict[str, str]:
                cast(round(sum(f1r) * 1000000) as bigint) as f1_micro,
                cast(count(*) as bigint) as total
         from s group by rollup(group_key)
+    """
+
+    o["value_quantiles"] = """
+        select event_type, round(quantile_cont(value, 0.5), 6) as p50,
+               round(quantile_cont(value, 0.95), 6) as p95,
+               cast(count(*) as bigint) as n
+        from events group by event_type
+    """
+
+    # ---- capstone curation pipeline: dedup -> quality gate -> language
+    # id -> per-language quota sample, all from already-proven pieces ----
+    _QUAL = (
+        f"round(0.3 * least(cast({_NTOK} as double) / 50.0, 1.0)"
+        f" + 0.3 * greatest(0.0, 1.0 - ({_PR}) * 4.0)"
+        f" + 0.2 * (case when ({_MWL}) >= 3.0 and ({_MWL}) <= 10.0"
+        f"          then 1.0 else 0.5 end)"
+        f" + 0.2 * least((({_ENR}) + ({_PTR})) * 5.0, 1.0), 6)"
+    )
+    o["curation_sample"] = f"""
+        with surv as (
+          select cast(min(doc_id) as bigint) as doc_id
+          from documents
+          group by md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
+        d2 as (
+          select d.doc_id, d.text
+          from documents d join surv s using (doc_id)),
+        r as (
+          select doc_id, {_QUAL} as quality,
+                 {_en} as en, {_pt} as pt, {_es} as es
+          from d2),
+        scored as (
+          select doc_id, quality,
+                 case when greatest(en, pt, es) = 0 then 'und'
+                      when en = greatest(en, pt, es) then 'en'
+                      when pt = greatest(en, pt, es) then 'pt'
+                      else 'es' end as lang_guess
+          from r
+          where quality >= 0.5),
+        keyed as (
+          select *, ('0x' || substring(md5(cast(doc_id as varchar)
+                       || ':42'), 1, 8))::bigint as h
+          from scored)
+        select doc_id, lang_guess, quality from (
+          select doc_id, lang_guess, quality,
+                 row_number() over (partition by lang_guess
+                                    order by h desc, doc_id asc) as rn
+          from keyed) t
+        where rn <= 20
     """
 
     # ---- deterministic sampling: the md5 draw replays exactly; the
