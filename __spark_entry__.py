@@ -876,6 +876,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.ivf_topk(e, qvec, cents, k=10, n_probe=3)
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def knn_join_ivf(spark, sf):
+        # blocked kNN join: IVF cell assignment + n_probe fan-out replaces
+        # the O(n*m) cross join; the oracle replays assignment/probing
+        e = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        cents = sim.seed_centroids(e, n=8)
+        left = e.filter(F.col("vec_id") < 30)
+        return sim.ivf_knn_join(left, e, cents, k=3, n_probe=2).select(
+            "qid", "nid", F.col("rank").cast("int").alias("rank")
+        )
+    q["knn_join_ivf"] = knn_join_ivf
+
     def kg_token_windows(spark, sf):
         # token-budgeted sliding windows (reference windows_token mode,
         # context.py:296-341) with the deterministic tokenizer stand-in
@@ -2042,6 +2055,49 @@ def oracle_sql() -> dict[str, str]:
                                     order by h desc, doc_id asc) as rn
           from keyed) t
         where rn <= 20
+    """
+
+    # ---- blocked kNN join: right assignment = argmax cosine (first-max
+    # -> cell asc tiebreak); left probes = top-2 cells (reverse(sort) ->
+    # cell DESC tiebreak); exact cosine rank within probed cells ----
+    _cosvc = ("list_sum(list_transform(generate_series(1, len(v.e)), "
+              "i -> v.e[i] * c.ce[i])) "
+              "/ (sqrt(list_sum(list_transform(v.e, x -> x * x))) "
+              "* sqrt(list_sum(list_transform(c.ce, x -> x * x))))")
+    o["knn_join_ivf"] = f"""
+        with v as (select vec_id, embedding::double[] as e from embeddings),
+        c as (select vec_id as cell, e as ce from v where vec_id < 8),
+        s as (select v.vec_id, v.e, c.cell, {_cosvc} as cs
+              from v cross join c),
+        rassign as (
+          select vec_id as nid, e as nv, cell from (
+            select vec_id, e, cell,
+                   row_number() over (partition by vec_id
+                                      order by cs desc, cell asc) as rn
+            from s) t
+          where rn = 1),
+        lprobe as (
+          select vec_id as qid, e as qv, cell from (
+            select vec_id, e, cell,
+                   row_number() over (partition by vec_id
+                                      order by cs desc, cell desc) as rn
+            from s where vec_id < 30) t
+          where rn <= 2),
+        scored as (
+          select l.qid, r.nid,
+                 list_sum(list_transform(generate_series(1, len(l.qv)),
+                   i -> l.qv[i] * r.nv[i]))
+                 / (sqrt(list_sum(list_transform(l.qv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(r.nv, x -> x * x))))
+                   as cos
+          from lprobe l join rassign r using (cell)
+          where l.qid != r.nid)
+        select qid, nid, cast(rank as int) as rank from (
+          select qid, nid,
+                 row_number() over (partition by qid
+                                    order by cos desc, nid asc) as rank
+          from scored) t
+        where rank <= 3
     """
 
     # ---- deterministic sampling: the md5 draw replays exactly; the

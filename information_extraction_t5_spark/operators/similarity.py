@@ -214,3 +214,58 @@ def lsh_topk(
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: List[Sequence[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked kNN join — the scale path replacing knn_join_bruteforce's
+    O(n*m) cross join.  Right rows are assigned to their IVF cell (narrow
+    expression); every left row probes its ``n_probe`` nearest cells (a
+    constant fan-out explode, also pure expressions); candidates meet in
+    an equi-join on ``cell`` and the exact cosine top-k runs within cells
+    only.  Approximate: a true neighbor outside the probed cells is
+    missed — recall rises with n_probe, cost with n_probe/|cells|.
+    Self-pairs (same id both sides) are excluded.
+    """
+    r = ivf_assign(right, centroids, right_id, vec_col).select(
+        F.col(right_id).alias("nid"), F.col(vec_col).alias("nv"), "cell"
+    )
+    # per-left-row probe cells: sort (sim, idx) struct array desc, slice
+    pairs = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), lit_vector(c)).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probe = F.slice(
+        F.transform(F.reverse(F.array_sort(pairs)), lambda p: p["i"]),
+        1, n_probe,
+    )
+    l = left.select(
+        F.col(left_id).alias("qid"), F.col(vec_col).alias("qv"),
+        F.explode(probe).alias("cell"),
+    )
+    scored = (
+        l.join(r, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )

@@ -136,3 +136,36 @@ def test_embedding_dedup_bucketed_recall(spark):
     assert len(exact) > 0
     assert blocked <= exact  # blocking can only miss, never invent
     assert len(blocked & exact) / len(exact) >= 0.9
+
+
+def test_ivf_knn_join_recall_vs_bruteforce(spark):
+    """The IVF-blocked kNN join recovers most of the exact top-k on a
+    clustered corpus (neighbors share the query's cell by construction)."""
+    from information_extraction_t5_spark.operators.similarity import (
+        ivf_knn_join,
+        kmeans_fit,
+        knn_join_bruteforce,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 12) * 5
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + 0.3 * rng.randn(12)])
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=4, iters=2)
+    left = df.filter(F.col("vec_id") < 20)
+
+    exact = {
+        (r["qid"], r["nid"])
+        for r in knn_join_bruteforce(left, df, k=5).collect()
+        if r["qid"] != r["nid"]
+    }
+    blocked = {
+        (r["qid"], r["nid"])
+        for r in ivf_knn_join(left, df, cents, k=5, n_probe=2).collect()
+    }
+    # exact includes self-free top-5 of 20 queries = 100 pairs
+    overlap = len(blocked & exact)
+    assert overlap / max(len(exact), 1) >= 0.9

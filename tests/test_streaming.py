@@ -94,3 +94,51 @@ def test_chunked_conversations_stateful(spark, tmp_path):
         for r in rows[n_full:]:
             assert r["n_turns"] == len(texts) % 4
             assert r["text"] == "\n".join(texts[n_full * 4:])
+
+
+def test_chunked_conversations_state_crosses_batches(spark, tmp_path):
+    """State must survive micro-batch boundaries: the first file carries
+    turns 0..2, the second 3..7 — the 4-turn chunk can only emit once
+    both batches have been folded into the same GroupState."""
+    import pandas as pd
+
+    from information_extraction_t5_spark.streaming.ingest import (
+        chunked_conversations,
+    )
+
+    src = str(tmp_path / "xbatch_src")
+    pdf = synth.transcripts_pdf(1)
+    cid = pdf["conv_id"].iloc[0]
+    first, second = pdf[pdf.turn_idx < 3], pdf[pdf.turn_idx >= 3]
+    spark.createDataFrame(first, synth.TRANSCRIPTS_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(second, synth.TRANSCRIPTS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(synth.TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    chunks = chunked_conversations(stream, chunk_turns=4)
+    query = (
+        chunks.writeStream.format("memory")
+        .queryName("xbatch_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = spark.sql(
+        "select * from xbatch_out order by chunk_id"
+    ).collect()
+    turns = sorted(synth.conversation_turns(cid),
+                   key=lambda t: t["turn_idx"])
+    texts = [t["text"] for t in turns]
+    n_full = len(texts) // 4
+    assert len(got) >= n_full > 0
+    for i, r in enumerate(got[:n_full]):
+        assert r["conv_id"] == cid
+        assert r["n_turns"] == 4
+        assert r["text"] == "\n".join(texts[i * 4:(i + 1) * 4])
