@@ -166,6 +166,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["region_customer_rollup"] = region_customer_rollup
 
+    def revenue_by_region(spark, sf):
+        # 5-table star join + rollup: Catalyst broadcast-joins both dims
+        # and reorders the fact joins (TPC-H q5 shape)
+        li = _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            )
+        )
+    q["revenue_by_region"] = revenue_by_region
+
     def eval_rollup_returnflag(spark, sf):
         li = _t(spark, sf, "lineitem")
         return li.rollup("l_returnflag").agg(
@@ -1222,6 +1248,18 @@ def oracle_sql() -> dict[str, str]:
         from customer c
         join nation n on c.c_nationkey = n.n_nationkey
         join region r on n.n_regionkey = r.r_regionkey
+        group by r_name
+    """
+
+    o["revenue_by_region"] = """
+        select r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+               cast(count(*) as bigint) as n_items
+        from lineitem
+        join orders on l_orderkey = o_orderkey
+        join customer on o_custkey = c_custkey
+        join nation on c_nationkey = n_nationkey
+        join region on n_regionkey = r_regionkey
         group by r_name
     """
 

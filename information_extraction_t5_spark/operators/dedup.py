@@ -1,12 +1,14 @@
 """Deduplication operators for training-data pipelines.
 
-Five strategies over a (id, text) corpus, all shuffle-disciplined:
+Six strategies over a (id, text | id, vector) corpus, all
+shuffle-disciplined:
 
-  exact          hash-groupBy on a content fingerprint (one shuffle)
-  minhash-LSH    shingle -> minhash -> band buckets -> bucket join
-  simhash        64-bit weighted-token hash, hamming-bucketed
-  ngram-jaccard  exact jaccard on n-gram sets for blocked candidates
-  embedding      cosine near-dup over array<float> vectors
+  exact            hash-groupBy on a content fingerprint (one shuffle)
+  minhash-LSH      shingle -> minhash -> band buckets -> bucket join
+  simhash          n-bit weighted-token hash, pigeonhole-chunk blocked
+  ngram-jaccard    exact jaccard on n-gram sets for blocked candidates
+  embedding        cosine near-dup, hyperplane-LSH blocked by default
+  cluster-survivor jaccard pairs -> connected components -> min-id keeper
 
 Each returns either a survivors DataFrame or a duplicate-pairs DataFrame.
 """

@@ -43,6 +43,9 @@ def sample_key(id_col: Column, weight: Optional[Column] = None,
     weighted sample without replacement.  weight=None -> uniform."""
     key = -F.log(_uniform(id_col, seed))
     if weight is not None:
+        # weights must be > 0: a zero weight yields key=+inf (never
+        # sampled — the sensible limit); a NEGATIVE weight would always
+        # win and is a caller bug
         key = key / weight.cast("double")
     return key
 
