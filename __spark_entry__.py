@@ -1197,7 +1197,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["question_choose_random"] = question_choose_random
 
-    return q
+    # ---- driver-gate rotation (VERDICT r2 item 1) ----
+    # The driver's correctness file caps at the FIRST 50 entries; r1+r2
+    # spent that window on the same 50, so 25 oracle-backed queries never
+    # got a driver-green row.  Put those 25 first (scale-path operators:
+    # ANN, dedup, sampling, temporal joins, the kg_* flagship chain), then
+    # the rest in historical order — twice-green trivia lands behind 50.
+    front = [
+        "events_5min_rolling", "time_rollup_multigrain", "kg_asof_join",
+        "kg_range_join", "salted_join_equivalence", "ann_ivf_topk",
+        "knn_join_ivf", "kg_token_windows", "kg_eval_rollup", "kg_triples",
+        "kg_exact_windows", "dedup_simhash_pairs", "dedup_jaccard_pairs",
+        "ann_lsh_topk", "media_features", "value_quantiles",
+        "curation_sample", "sample_docs_weighted",
+        "sample_orders_per_customer", "winnow_fingerprints", "kmeans_cells",
+        "dedup_cluster_survivors", "eval_rollup_grouped",
+        "question_expand_all", "question_choose_random",
+    ]
+    assert set(front) <= set(q), sorted(set(front) - set(q))
+    rotated = {name: q[name] for name in front}
+    rotated.update({n: f for n, f in q.items() if n not in rotated})
+    return rotated
 
 
 # ---------------------------------------------------------------------------
