@@ -273,7 +273,11 @@ def materialize_graph(triples: DataFrame, catalog: Catalog,
         "subj_bucket",
         F.pmod(F.xxhash64("subj"), F.lit(cfg.subj_buckets)).cast("int"),
     )
-    catalog.write(edges, "graph_edges", partition_by=["pred"])
+    # two-level layout: pred prunes whole predicates, subj_bucket prunes
+    # within a predicate for entity-centric reads (and bounds any single
+    # output directory to ~1/buckets of a hot predicate's rows)
+    catalog.write(edges, "graph_edges",
+                  partition_by=["pred", "subj_bucket"])
     nodes = (
         triples.select(F.col("subj").alias("node_id"))
         .union(triples.select(F.concat(F.lit("val:"), F.col("obj"))))
