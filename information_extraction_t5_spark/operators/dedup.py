@@ -109,6 +109,15 @@ def simhash64(col, n_bits: int = 64, hash_fn: str = "xxhash64"):
     DuckDB oracle can replay the fingerprint bit-for-bit.
     """
     toks = F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
+    if hash_fn == "md5" and n_bits > 32:
+        # the md5 token hash is a 32-bit hex-prefix: bits 32+ of every
+        # token hash are 0, so fingerprint bits 32..63 would all collapse
+        # to constant 0 and pigeonhole chunk blocking over them becomes
+        # non-discriminative (degenerates toward all-pairs).  Fail loud.
+        raise ValueError(
+            "hash_fn='md5' supports n_bits <= 32 (32-bit hex-prefix "
+            "token hashes); use hash_fn='xxhash64' for wider fingerprints"
+        )
     if hash_fn == "md5":
         hashes = F.transform(
             toks,
@@ -138,7 +147,8 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on hash bands.
 
-    n_bits=16 keeps the expression tree small for tests; 64 for production.
+    n_bits=16 keeps the expression tree small for tests; 64 (with the
+    default xxhash64 token hash — md5 mode caps at 32) for production.
     Blocking: split the fingerprint into (max_hamming+1) chunks — a pair
     within the budget must agree on at least one chunk (pigeonhole), so
     the blocked result is IDENTICAL to the full O(n^2) join, not an

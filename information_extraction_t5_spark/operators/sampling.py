@@ -45,8 +45,12 @@ def sample_key(id_col: Column, weight: Optional[Column] = None,
     if weight is not None:
         # weights must be > 0: a zero weight yields key=+inf (never
         # sampled — the sensible limit); a NEGATIVE weight would always
-        # win and is a caller bug
+        # win and is a caller bug.  A NULL weight would yield a NULL key,
+        # and ascending sort puts nulls FIRST — malformed rows would
+        # silently dominate every sample — so nulls collapse to +inf
+        # (never sampled) alongside zero weights.
         key = key / weight.cast("double")
+        key = F.coalesce(key, F.lit(float("inf")))
     return key
 
 

@@ -152,10 +152,8 @@ def kmeans_fit(
             .collect()
         )
         new = [list(c) for c in cents]
-        touched = set()
         for r in means:
             new[r["cell"]][r["dim"]] = float(r["m"])
-            touched.add(r["cell"])
         cents = new
     return cents
 

@@ -415,3 +415,30 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     weighted_sample(df, 10, "id", "w").explain("formatted")
     sys.stdout = old
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_simhash_md5_rejects_wide_fingerprints(spark):
+    """md5 token hashes are a 32-bit hex prefix: n_bits>32 would silently
+    zero bits 32..63 and collapse pigeonhole blocking (ADVICE r2)."""
+    df = spark.createDataFrame([(1, "a b c")], "id bigint, text string")
+    with pytest.raises(ValueError, match="n_bits <= 32"):
+        dd.simhash_dedup_pairs(df, "id", "text", n_bits=64, hash_fn="md5")
+    # 32 still fine
+    assert dd.simhash_dedup_pairs(
+        df, "id", "text", n_bits=32, hash_fn="md5"
+    ).count() == 0
+
+
+def test_weighted_sample_null_weights_never_win(spark):
+    """NULL weights must not sort first (they'd silently dominate every
+    sample); they collapse to +inf keys like zero weights (ADVICE r2)."""
+    from information_extraction_t5_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None if i < 20 else 1.0) for i in range(100)],
+        "id bigint, w double",
+    )
+    got = {r["id"] for r in weighted_sample(df, 30, "id", "w").collect()}
+    assert all(i >= 20 for i in got), sorted(got)[:5]
