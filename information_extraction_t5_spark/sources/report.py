@@ -58,12 +58,36 @@ def pivoted_class_frame(
         .withColumn(
             "f1", F.round(f1_approx(F.col(label_col), F.col(pred_col)), 6)
         )
-        # typename id = everything after the project prefix (keeps the
-        # '~subfield' / '*' markers of exploded sub-answers)
-        .withColumn("_tn", F.substring_index(F.col(example_col), ".", -1))
+        # typename id = everything after the project prefix, i.e. after
+        # the FIRST dot (consistent with class_of; a last-segment rule
+        # would collide 'form.endereco.estado' with any other '*.estado'
+        # — ADVICE r2).  Keeps '~subfield' / '*' markers and inner dots.
+        .withColumn(
+            "_tn",
+            F.expr(
+                f"substring({example_col}, instr({example_col}, '.') + 1)"
+            ),
+        )
     )
     if document_class is not None:
         scored = scored.filter(class_of(example_col) == document_class)
+    # deterministic pre-reduce to one row per (document, typename): the
+    # reference's pandas df.pivot RAISES on duplicates, and F.first() over
+    # duplicate rows (multiple windows, choose_question='all' replication)
+    # is order-dependent.  Keep the highest-prob row, ties broken on
+    # (prediction, label) text order.
+    from pyspark.sql import Window as _W
+
+    dedup_w = _W.partitionBy(doc_col, "_tn").orderBy(
+        F.col(prob_col).desc_nulls_last(),
+        F.col(pred_col).asc_nulls_last(),
+        F.col(label_col).asc_nulls_last(),
+    )
+    scored = (
+        scored.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     grouped = scored.groupBy(F.col(doc_col).alias("document_id"))
     pivot = grouped.pivot("_tn", typenames) if typenames \
         else grouped.pivot("_tn")

@@ -64,3 +64,46 @@ def test_write_frame_csv_single_file(spark, tmp_path):
     write_frame_csv(df, path)
     assert os.path.isfile(path)
     assert spark.read.option("header", True).csv(path).count() == 10
+
+
+def test_pivot_duplicate_rows_deterministic(spark):
+    """Duplicate (document, typename) rows (multiple windows or
+    choose_question='all' replication) must reduce deterministically to
+    the highest-prob row, regardless of partitioning (ADVICE r2)."""
+    rows = [
+        ("d1", "matriculas.cpf", "[CPF/CNPJ]: 111", "[CPF/CNPJ]: 111", 0.9),
+        ("d1", "matriculas.cpf", "[CPF/CNPJ]: 111", "[CPF/CNPJ]: bad", 0.2),
+        ("d1", "matriculas.cpf", "[CPF/CNPJ]: 111", "[CPF/CNPJ]: 111", 0.9),
+    ]
+    preds = spark.createDataFrame(
+        rows,
+        "document_id string, example_id string, label string, "
+        "prediction string, prob double",
+    )
+    for parts in (1, 7):
+        pdf = pivoted_class_frame(
+            preds.repartition(parts), "matriculas"
+        ).toPandas().set_index("document_id")
+        assert pdf.loc["d1", "cpf_prediction"] == "[CPF/CNPJ]: 111"
+        assert pdf.loc["d1", "cpf_prob"] == 0.9
+
+
+def test_pivot_typename_keeps_inner_dots(spark):
+    """Dotted qa_ids keep everything after the FIRST dot as the typename,
+    so 'form.endereco.estado' cannot collide with another '*.estado'."""
+    rows = [
+        ("d1", "form.endereco.estado", "[UF]: SP", "[UF]: SP", 0.9),
+        ("d1", "form.estado", "[UF]: RJ", "[UF]: RJ", 0.8),
+    ]
+    preds = spark.createDataFrame(
+        rows,
+        "document_id string, example_id string, label string, "
+        "prediction string, prob double",
+    )
+    pdf = pivoted_class_frame(preds, "form").toPandas()
+    cols = set(pdf.columns)
+    assert "endereco.estado_prediction" in cols
+    assert "estado_prediction" in cols
+    got = pdf.set_index("document_id")
+    assert got.loc["d1", "endereco.estado_prediction"] == "[UF]: SP"
+    assert got.loc["d1", "estado_prediction"] == "[UF]: RJ"
