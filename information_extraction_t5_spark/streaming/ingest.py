@@ -144,7 +144,102 @@ def compact_streamed_triples(spark, triples_path: str, catalog,
 # ---------------------------------------------------------------------------
 
 CHUNK_SCHEMA = "conv_id string, chunk_id int, n_turns int, text string"
-_CHUNK_STATE_SCHEMA = "turn_idxs array<int>, texts array<string>, next_chunk int"
+_CHUNK_STATE_SCHEMA = (
+    "turn_idxs array<int>, texts array<string>, "
+    "next_window int, next_chunk int"
+)
+
+
+def _flush_runs(pending: dict, chunk_turns: int):
+    """Split pending turn_idxs into contiguous runs, additionally broken
+    at aligned chunk-window boundaries — each run flushes as its OWN
+    chunk.  (A single merged flush would glue non-contiguous ranges
+    blocked by a missing middle turn into one oversized chunk; ADVICE
+    r2.)  Returns a list of ordered idx lists."""
+    runs, run, prev = [], [], None
+    for j in sorted(pending):
+        if run and (j != prev + 1 or j % chunk_turns == 0):
+            runs.append(run)
+            run = []
+        run.append(j)
+        prev = j
+    if run:
+        runs.append(run)
+    return runs
+
+
+def _make_chunker(chunk_turns: int, timeout_ms: int):
+    """Build the applyInPandasWithState function for chunked_conversations
+    (module-level factory so the state machine is unit-testable against a
+    fake GroupState)."""
+    import pandas as pd  # noqa: F811 - executor-side import
+
+    def fn(key, pdfs, state):
+        conv_id = key[0]
+        out = {"conv_id": [], "chunk_id": [], "n_turns": [], "text": []}
+
+        def emit(chunk_id, ordered_idxs, pending):
+            out["conv_id"].append(conv_id)
+            out["chunk_id"].append(chunk_id)
+            out["n_turns"].append(len(ordered_idxs))
+            out["text"].append(
+                "\n".join(pending[j] for j in ordered_idxs)
+            )
+
+        if state.hasTimedOut:
+            idxs, texts, next_window, next_chunk = state.get
+            pending = dict(zip(idxs, texts))
+            if pending:
+                for run in _flush_runs(pending, chunk_turns):
+                    emit(next_chunk, run, pending)
+                    next_chunk += 1
+                # flushed windows can never complete later (their turns
+                # are gone): skip past them, and KEEP the counters so late
+                # turns never restart chunk numbering at 0 / re-emit
+                # duplicate (conv_id, chunk_id) keys (ADVICE r2)
+                next_window = max(
+                    next_window, max(pending) // chunk_turns + 1
+                )
+                state.update(([], [], next_window, next_chunk))
+                state.setTimeoutDuration(timeout_ms)
+            else:
+                # a second quiet period with nothing pending: drop the
+                # record (memory stays O(active convs); a turn arriving
+                # after THIS point restarts numbering — the unavoidable
+                # tradeoff of bounded state, now explicit)
+                state.remove()
+            yield pd.DataFrame(out)
+            return
+
+        if state.exists:
+            idxs, texts, next_window, next_chunk = state.get
+            pending = dict(zip(idxs, texts))
+        else:
+            pending, next_window, next_chunk = {}, 0, 0
+
+        for pdf in pdfs:
+            for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
+                pending[int(ti)] = tx
+
+        while True:
+            want = range(next_window * chunk_turns,
+                         (next_window + 1) * chunk_turns)
+            if not all(j in pending for j in want):
+                break
+            emit(next_chunk, list(want), pending)
+            for j in want:
+                del pending[j]
+            next_window += 1
+            next_chunk += 1
+
+        state.update(
+            (list(pending.keys()), list(pending.values()),
+             next_window, next_chunk)
+        )
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(out)
+
+    return fn
 
 
 def chunked_conversations(
@@ -163,61 +258,17 @@ def chunked_conversations(
     membership under out-of-order / cross-batch arrival (turn_idx is the
     order authority, same stable-order invariant as batch assembly; the
     shuffle into the stateful operator gives NO arrival-order guarantee).
-    A processing-time timeout flushes the trailing partial chunk when the
-    conversation goes quiet; state is then dropped, bounding memory at
-    O(active conversations x pending turns).
+
+    A processing-time timeout flushes pending turns when the conversation
+    goes quiet: each gap-/window-boundary-separated contiguous run becomes
+    its own chunk, and the (next_window, next_chunk) counters SURVIVE the
+    flush, so late turns continue the chunk-id sequence instead of
+    re-emitting duplicate keys.  Only after a second quiet period with
+    nothing pending is the state record dropped (memory bounded at
+    O(active conversations x pending turns)).
     """
-    import pandas as pd  # noqa: F811 - executor-side import
-
-    def fn(key, pdfs, state):
-        conv_id = key[0]
-        out = {"conv_id": [], "chunk_id": [], "n_turns": [], "text": []}
-
-        def emit(chunk_id, ordered_idxs, pending):
-            out["conv_id"].append(conv_id)
-            out["chunk_id"].append(chunk_id)
-            out["n_turns"].append(len(ordered_idxs))
-            out["text"].append(
-                "\n".join(pending[j] for j in ordered_idxs)
-            )
-
-        if state.hasTimedOut:
-            idxs, texts, next_chunk = state.get
-            state.remove()
-            if len(idxs):
-                pending = dict(zip(idxs, texts))
-                emit(next_chunk, sorted(pending), pending)
-            yield pd.DataFrame(out)
-            return
-
-        if state.exists:
-            idxs, texts, next_chunk = state.get
-            pending = dict(zip(idxs, texts))
-        else:
-            pending, next_chunk = {}, 0
-
-        for pdf in pdfs:
-            for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
-                pending[int(ti)] = tx
-
-        while True:
-            want = range(next_chunk * chunk_turns,
-                         (next_chunk + 1) * chunk_turns)
-            if not all(j in pending for j in want):
-                break
-            emit(next_chunk, list(want), pending)
-            for j in want:
-                del pending[j]
-            next_chunk += 1
-
-        state.update(
-            (list(pending.keys()), list(pending.values()), next_chunk)
-        )
-        state.setTimeoutDuration(timeout_ms)
-        yield pd.DataFrame(out)
-
     return stream.groupBy("conv_id").applyInPandasWithState(
-        fn,
+        _make_chunker(chunk_turns, timeout_ms),
         outputStructType=CHUNK_SCHEMA,
         stateStructType=_CHUNK_STATE_SCHEMA,
         outputMode="append",

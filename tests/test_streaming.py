@@ -142,3 +142,96 @@ def test_chunked_conversations_state_crosses_batches(spark, tmp_path):
         assert r["conv_id"] == cid
         assert r["n_turns"] == 4
         assert r["text"] == "\n".join(texts[i * 4:(i + 1) * 4])
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the chunker state machine."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+        self.removed = False
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _drive(fn, conv, state, turns):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"turn_idx": [t for t, _ in turns], "text": [x for _, x in turns]}
+    )
+    frames = list(fn((conv,), iter([pdf]), state))
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_chunk_flush_keeps_counters_and_splits_gaps():
+    """Timeout flush must (a) emit gap-separated pending runs as SEPARATE
+    chunks, (b) persist next_chunk so post-flush turns never reuse a
+    chunk_id (ADVICE r2)."""
+    import pandas as pd
+
+    from information_extraction_t5_spark.streaming.ingest import (
+        _make_chunker,
+    )
+
+    fn = _make_chunker(chunk_turns=4, timeout_ms=1000)
+
+    # batch 1: turns 0..3 complete chunk 0; 5,6 and 9 stay pending
+    # (4 missing blocks window 1; 8 missing blocks window 2)
+    st = _FakeState()
+    out = _drive(fn, "c", st,
+                 [(i, f"t{i}") for i in [0, 1, 2, 3, 5, 6, 9]])
+    assert list(out["chunk_id"]) == [0]
+    assert out["text"][0] == "t0\nt1\nt2\nt3"
+
+    # timeout fires: two separate runs flush as chunks 1 and 2 — never one
+    # merged blob, and never chunk_id 0 again
+    st.hasTimedOut = True
+    out = _drive(fn, "c", st, [])
+    assert list(out["chunk_id"]) == [1, 2]
+    assert list(out["text"]) == ["t5\nt6", "t9"]
+    assert not st.removed  # counters kept for late arrivals
+    _idxs, _texts, next_window, next_chunk = st.get
+    assert (next_window, next_chunk) == (3, 3)
+
+    # late turns 12..15 (window 3) continue the sequence at chunk 3
+    st.hasTimedOut = False
+    out = _drive(fn, "c", st, [(i, f"t{i}") for i in [12, 13, 14, 15]])
+    assert list(out["chunk_id"]) == [3]
+    assert out["text"][0] == "t12\nt13\nt14\nt15"
+
+    # a second idle timeout with nothing pending drops the record
+    st.hasTimedOut = True
+    out = _drive(fn, "c", st, [])
+    assert len(out) == 0
+    assert st.removed
+
+
+def test_chunk_flush_splits_at_window_boundary():
+    """A contiguous pending run spanning an aligned window boundary
+    flushes as one chunk per window (deterministic membership)."""
+    from information_extraction_t5_spark.streaming.ingest import (
+        _flush_runs,
+    )
+
+    pending = {j: f"t{j}" for j in [5, 6, 7, 8, 9]}  # crosses 8 (4-turn)
+    assert _flush_runs(pending, 4) == [[5, 6, 7], [8, 9]]
+    assert _flush_runs({1: "a", 3: "b"}, 4) == [[1], [3]]
