@@ -55,14 +55,19 @@ def knn_join_bruteforce(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """k nearest right-rows for every left-row (exact, O(n*m) — only for
-    small right sides or pre-bucketed inputs)."""
+    small right sides or pre-bucketed inputs).  ``exclude_self`` drops
+    same-id pairs BEFORE ranking (matching ivf_knn_join's semantics) so
+    the result is a valid exact baseline for the blocked join."""
     l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("qv"))
     r = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("nv"))
     scored = l.crossJoin(r).select(
         "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos")
     )
+    if exclude_self:
+        scored = scored.filter(F.col("qid") != F.col("nid"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
