@@ -1118,8 +1118,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = ann_lsh_topk
 
     def media_features(spark, sf):
+        # binary-payload feature extraction (mapInPandas over the media
+        # table); exploded to scalar rows so the DuckDB oracle can replay
+        # the deterministic sha256 feature from the committed fixture
+        # (tests/fixtures/media_48.parquet == synthetic_media_df(48),
+        # pinned by test_fixtures) and value-hash the result
         media = mm.synthetic_media_df(spark, n=48)
-        return mm.extract_features(media)
+        feats = mm.extract_features(media)
+        return feats.select(
+            "media_id", "kind",
+            F.posexplode("feature").alias("dim", "val"),
+            "ok",
+        ).select(
+            "media_id", "kind",
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+            "ok",
+        )
     q["media_features"] = media_features
 
     def value_quantiles(spark, sf):
@@ -2164,6 +2179,20 @@ def oracle_sql() -> dict[str, str]:
                cast(round(sum(f1r) * 1000000) as bigint) as f1_micro,
                cast(count(*) as bigint) as total
         from s group by rollup(group_key)
+    """
+
+    # ---- multimodal feature stub, replayed from the committed fixture:
+    # feature[d] = round(byte_d(sha256(payload)) / 255, 6) ----
+    o["media_features"] = """
+        with m as (
+          select media_id, kind, sha256(lower(hex(payload))) as h
+          from '/root/repo/tests/fixtures/media_48.parquet'),
+        d as (select unnest(generate_series(0, 7)) as dim)
+        select m.media_id, m.kind, cast(d.dim as int) as dim,
+               round((('0x' || substr(m.h, 2 * d.dim + 1, 2))::bigint)
+                     / 255.0, 6) as val,
+               true as ok
+        from m cross join d
     """
 
     o["value_quantiles"] = """

@@ -42,8 +42,12 @@ def synthetic_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list:
-    """Deterministic pseudo-embedding from payload bytes."""
-    h = hashlib.sha256(payload or b"").digest()
+    """Deterministic pseudo-embedding from payload bytes.
+
+    Hashes the lowercase hex of the payload (not the raw bytes) so a SQL
+    oracle can replay it engine-portably — DuckDB's sha256() only takes
+    VARCHAR."""
+    h = hashlib.sha256((payload or b"").hex().encode()).digest()
     return [round(b / 255.0, 6) for b in h[:dim]]
 
 
