@@ -1985,6 +1985,18 @@ def oracle_sql() -> dict[str, str]:
         from events
     """
 
+    # ---- flagship window assembly, hash-gated (VERDICT r2 item 3): the
+    # full char/token budget kernels (20-step shrink, snap-to-space,
+    # ellipses) re-derived in SQL over the committed transcripts fixture
+    # (== the Spark side's synth input, pinned by test_fixtures) ----
+    from information_extraction_t5_spark.oracle_sql import (
+        char_windows_sql,
+        token_windows_sql,
+    )
+
+    o["kg_exact_windows"] = char_windows_sql()
+    o["kg_token_windows"] = token_windows_sql()
+
     o["kg_asof_join"] = """
         with u as (
           select user_id, ts, 1 as side, event_id,
