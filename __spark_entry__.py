@@ -1031,11 +1031,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_eval_rollup(spark, sf):
         # exact/F1 eval of pipeline predictions vs planted goldens, rolled
         # up by metric group keys (reference: metrics.py:104-131 +
-        # postprocess.py:16-70); Arrow-UDF F1 => rows-only check
+        # postprocess.py:16-70).  Hash-gated (VERDICT r2 item 3): the
+        # oracle re-derives extraction+linking in SQL over the committed
+        # fixtures.  Predictions are deterministically CORRUPTED (every
+        # idx%5==2 conv gets ' X' appended; idx%7==3 convs lose nome_pai)
+        # so exact/F1 are non-vacuous, and aggregates are integer-exact
+        # (hit counts + micro-scaled F1 sums).
         from information_extraction_t5_spark.data import synth
-        from information_extraction_t5_spark.functions.metrics import (
-            eval_rollup, score,
-        )
+        from information_extraction_t5_spark.functions.metrics import score
         from information_extraction_t5_spark.operators.postprocess import (
             with_group_keys,
         )
@@ -1043,12 +1046,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         n = 40
         triples = run_pipeline(spark, synth.transcripts_df(spark, n))
+        idx = F.split(F.col("conv_id"), "_").getItem(1).cast("int")
+        predicted = (
+            triples.select("conv_id", "pred", "obj", idx.alias("i"))
+            .filter(
+                ~((F.col("i") % 7 == 3) & (F.col("pred") == "form.nome_pai"))
+            )
+            .select(
+                "conv_id", "pred",
+                F.when(F.col("i") % 5 == 2,
+                       F.concat(F.col("obj"), F.lit(" X")))
+                .otherwise(F.col("obj")).alias("obj"),
+            )
+        )
         golden = synth.golden_triples_df(spark, n).withColumnRenamed(
             "obj", "gold_obj"
         )
         paired = (
-            triples.select("conv_id", "pred", "obj")
-            .join(golden, ["conv_id", "pred"], "full")
+            predicted.join(golden, ["conv_id", "pred"], "full")
             .select(
                 F.coalesce("conv_id", F.lit("?")).alias("document_id"),
                 F.coalesce("pred", F.lit("?")).alias("example_id"),
@@ -1056,14 +1071,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.coalesce("gold_obj", F.lit("")).alias("label"),
             )
         )
-        scored = score(with_group_keys(paired), "label", "prediction")
-        return eval_rollup(scored)
+        scored = score(
+            with_group_keys(paired), "label", "prediction", exact_f1=False
+        ).withColumn("f1r", F.round("f1", 6))
+        return scored.rollup("group_key").agg(
+            F.sum("exact").cast("bigint").alias("exact_hits"),
+            F.round(F.sum("f1r") * 1000000).cast("bigint").alias("f1_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+        )
     q["kg_eval_rollup"] = kg_eval_rollup
 
     def kg_triples(spark, sf):
+        # the flagship extract->link->canonicalize lineage, hash-gated
+        # (VERDICT r2 item 3): the oracle re-derives the triple set in
+        # SQL from the committed transcripts fixture — regex extraction
+        # over the assembled doc, alias linking, exact + LSH-fuzzy
+        # connected components.  Projected to the value columns the
+        # north rule grades (window_id/prob/sent_id provenance is pinned
+        # by pytest e2e + the kg_exact_windows gate).
         from information_extraction_t5_spark.data import synth
         from information_extraction_t5_spark.pipeline import run_pipeline
-        return run_pipeline(spark, synth.transcripts_df(spark, 40))
+        return run_pipeline(spark, synth.transcripts_df(spark, 40)).select(
+            "conv_id", "pred", "obj", "obj_raw", "subj"
+        )
     q["kg_triples"] = kg_triples
 
     def kg_exact_windows(spark, sf):
@@ -1991,11 +2021,15 @@ def oracle_sql() -> dict[str, str]:
     # (== the Spark side's synth input, pinned by test_fixtures) ----
     from information_extraction_t5_spark.oracle_sql import (
         char_windows_sql,
+        kg_eval_rollup_sql,
+        kg_triples_sql,
         token_windows_sql,
     )
 
     o["kg_exact_windows"] = char_windows_sql()
     o["kg_token_windows"] = token_windows_sql()
+    o["kg_triples"] = kg_triples_sql()
+    o["kg_eval_rollup"] = kg_eval_rollup_sql()
 
     o["kg_asof_join"] = """
         with u as (

@@ -280,3 +280,262 @@ def token_windows_sql(
         )
     return ("with " + ",".join(ctes) + "\n"
             + "\nunion all\n".join(selects))
+
+
+# ---------------------------------------------------------------------------
+# kg_triples: full-document extraction + alias linking + canonicalization
+# ---------------------------------------------------------------------------
+
+# (field, predicate, RE2 pattern) — the same grammar the
+# RegexFormExtractor matches per-window (operators/extraction.py:112-210);
+# over the FULL document the first match is the planted value, and the
+# pipeline's windowed top-1 recovers the identical set (P=R=1.0 on this
+# corpus; pinned empirically by tests/test_oracle_triples_sql.py).
+_SIMPLE_FIELDS = [
+    ("etiqueta", "form.etiqueta", r"(?m)^(ID[0-9]{5})$"),
+    ("agencia", "form.agencia", "(?m)^Agência Nº\\n([0-9]{4})$"),
+    ("conta_corrente", "form.conta_corrente",
+     r"Conta Corrente (\S+)"),
+    ("cpf", "form.cpf",
+     r"(?m)^([0-9]{3}\.[0-9]{3}\.[0-9]{3}-[0-9]{2})$"),
+    ("nome_completo", "form.nome_completo", r"(?m)Nome Completo (.+)$"),
+    ("orgao_emissor", "form.orgao_emissor", r"Órgão Emissor (\S+)"),
+    ("data_emissao", "form.data_emissao",
+     r"Data de Emissão ([0-9]{2}/[0-9]{2}/[0-9]{4})"),
+    ("data_nascimento", "form.data_nascimento",
+     r"Data de Nascimento ([0-9]{2}/[0-9]{2}/[0-9]{4})"),
+    ("nome_mae", "form.nome_mae", r"(?m)Nome da Mãe (.+)$"),
+    ("nome_pai", "form.nome_pai", r"(?m)Nome do Pai (.+)$"),
+    ("logradouro", "form.endereco.logradouro",
+     r"(?m)Rua/Av/Pça/Estrada (.+)$"),
+    ("numero", "form.endereco.numero",
+     "(?m)^Número\\n([0-9]+)( Complemento.*)?$"),
+    ("complemento", "form.endereco.complemento",
+     r"(?m)Complemento (.+)$"),
+    ("bairro", "form.endereco.bairro", r"(?m)^Bairro (.+)$"),
+    ("cidade", "form.endereco.cidade", r"(?m)Município (.+)$"),
+    ("estado", "form.endereco.estado", r"(?m)^UF (.+?)( País.*)?$"),
+    ("cep", "form.endereco.cep", r"(?m)^([0-9]{5}-[0-9]{3})$"),
+]
+_NDOC_PATTERN = r"(?m)^([0-9.]+) Órgão Emissor"
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def normalize_answer_sql(col: str) -> str:
+    """functions/text.normalize_answer as a DuckDB expression: lower,
+    strip punctuation, fold accents, drop english articles, collapse
+    whitespace."""
+    from information_extraction_t5_spark.functions.text import (
+        ACCENTED,
+        FOLDED,
+        PUNCT,
+    )
+
+    c = f"lower({col})"
+    c = f"translate({c}, '{_sql_quote(PUNCT)}', '')"
+    c = f"translate({c}, '{_sql_quote(ACCENTED)}', '{_sql_quote(FOLDED)}')"
+    c = f"regexp_replace({c}, '\\b(a|an|the)\\b', ' ', 'g')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+def _alias_values_sql() -> str:
+    """The alias dictionary (linking.alias_rows) as inline VALUES."""
+    from information_extraction_t5_spark.operators.linking import alias_rows
+
+    rows = ", ".join(
+        f"('{_sql_quote(r['alias'])}', '{_sql_quote(r['canonical'])}')"
+        for r in alias_rows()
+    )
+    return f"(values {rows}) a(alias, canonical)"
+
+
+def _minhash16_sql(shingle_col: str) -> str:
+    return ",\n                 ".join(
+        f"list_aggregate(list_transform({shingle_col}, "
+        f"x_ -> md5('{i}:' || x_)), 'min')"
+        for i in range(16)
+    )
+
+
+def kg_triples_sql(fixture: str = FIXTURE_TRANSCRIPTS,
+                   link_pred: str = "form.endereco.estado",
+                   fuzzy_max_dist: int = 2) -> str:
+    """(conv_id, pred, obj, obj_raw, subj) — the pipeline's triple set
+    re-derived: regex extraction over the assembled document, alias
+    linking of the estado predicate, exact mention-key + LSH-blocked
+    fuzzy-name connected components for the canonical subject."""
+    field_selects = []
+    for field, pred, pat in _SIMPLE_FIELDS:
+        field_selects.append(
+            f"select conv_id, '{pred}' as pred,\n"
+            f"       nullif(regexp_extract(text, '{_sql_quote(pat)}', 1),"
+            f" '') as obj,\n"
+            f"       cast(null as varchar) as obj_raw from docs"
+        )
+    # n_doc_serie: canonical strips thousands dots; raw kept when dotted
+    field_selects.append(
+        "select conv_id, 'form.n_doc_serie' as pred,\n"
+        f"       replace(nullif(regexp_extract(text,"
+        f" '{_sql_quote(_NDOC_PATTERN)}', 1), ''), '.', '') as obj,\n"
+        f"       case when regexp_extract(text,"
+        f" '{_sql_quote(_NDOC_PATTERN)}', 1) like '%.%'\n"
+        f"            then regexp_extract(text,"
+        f" '{_sql_quote(_NDOC_PATTERN)}', 1)\n"
+        f"            else null end as obj_raw from docs"
+    )
+    union_fields = "\nunion all\n".join(field_selects)
+    norm_obj = normalize_answer_sql("obj")
+
+    return f"""
+        with recursive {docs_ctes(fixture)},
+        rawtrip as materialized (
+          select * from ({union_fields}) where obj is not null),
+        trip as materialized (
+          select t.conv_id, t.pred,
+                 case when t.pred = '{link_pred}'
+                      then coalesce(a.canonical, t.obj) else t.obj end
+                   as obj,
+                 t.obj_raw
+          from rawtrip t
+          left join {_alias_values_sql()}
+            on t.pred = '{link_pred}' and lower(t.obj) = a.alias),
+        -- canonicalization: exact mention keys (cpf + normalized name)
+        mk as materialized (
+          select distinct conv_id as mention,
+                 pred || '=' || {norm_obj} as key
+          from trip where pred in ('form.cpf', 'form.nome_completo')),
+        krep as (select key, min(mention) as rep from mk group by key),
+        kedges as (
+          select mention as src, rep as dst from mk
+          join krep using (key) where mention != rep),
+        -- fuzzy-name edges: md5 minhash (16 hashes, 4 bands of 4,
+        -- 3-char shingles, bucket cap 64) + levenshtein <= {fuzzy_max_dist}
+        names as materialized (
+          select {norm_obj} as name, min(conv_id) as id
+          from trip where pred = 'form.nome_completo' group by 1),
+        nsh as (
+          select id, name,
+                 list_transform(
+                   generate_series(1, greatest(length(lower(name)) - 2, 1)),
+                   i_ -> substring(lower(name), i_, 3)) as s
+          from names),
+        nsig as materialized (
+          select id, name, [
+                 {_minhash16_sql('s')}
+               ] as g
+          from nsh),
+        nbands as materialized (
+          select id, b.band,
+                 array_to_string(
+                   list_slice(g, b.band * 4 + 1, b.band * 4 + 4), '|')
+                   as band_key
+          from nsig, lateral unnest(generate_series(0, 3)) as b(band)),
+        nbsz as (
+          select band, band_key, count(*) as n_
+          from nbands group by 1, 2),
+        nb2 as (
+          select nb.* from nbands nb
+          join nbsz z using (band, band_key) where z.n_ <= 64),
+        ncand as (
+          select distinct l.id as id_a, r.id as id_b
+          from nb2 l join nb2 r
+            on l.band = r.band and l.band_key = r.band_key
+           and l.id < r.id),
+        fpairs as (
+          select c.id_a as src, c.id_b as dst from ncand c
+          join names a on a.id = c.id_a
+          join names b on b.id = c.id_b
+          where abs(length(a.name) - length(b.name)) <= {fuzzy_max_dist}
+            and levenshtein(a.name, b.name) <= {fuzzy_max_dist}),
+        alledges as (
+          select src, dst from kedges union select src, dst from fpairs),
+        sym as materialized (
+          select src as a, dst as b from alledges
+          union select dst, src from alledges),
+        reach(a, b) as (
+          select a, b from sym
+          union
+          select r.a, s.b from reach r join sym s on s.a = r.b),
+        comp as (
+          select a as node, least(a, min(b)) as comp
+          from reach group by a)
+        select t.conv_id, t.pred, t.obj, t.obj_raw,
+               'ent:' || coalesce(c.comp, t.conv_id) as subj
+        from trip t left join comp c on c.node = t.conv_id
+    """
+
+
+FIXTURE_GOLDENS = "/root/repo/tests/fixtures/golden_triples_n40.parquet"
+
+
+def kg_eval_rollup_sql(fixture: str = FIXTURE_TRANSCRIPTS,
+                       goldens: str = FIXTURE_GOLDENS,
+                       link_pred: str = "form.endereco.estado") -> str:
+    """Eval rollup over the pipeline's (deterministically corrupted)
+    predictions vs the golden triples: extraction+linking re-derived in
+    SQL, exact + set-semantic token F1, metric group keys, grouping-sets
+    rollup with integer-exact aggregates."""
+    # extraction + linking CTE chain shared with kg_triples_sql (the
+    # canonicalization stages are irrelevant here)
+    base = kg_triples_sql(fixture, link_pred)
+    head, _, _ = base.partition("-- canonicalization")
+    norm = normalize_answer_sql
+    toks = (
+        lambda col: f"case when {norm(col)} = '' then []::varchar[] "
+        f"else string_split({norm(col)}, ' ') end"
+    )
+    f1row = """case
+          when len(gt) = 0 and len(pt) = 0 then 1.0
+          when len(gt) = 0 or len(pt) = 0 then 0.0
+          when len(list_intersect(gt, pt)) = 0 then 0.0
+          else 2 * (cast(len(list_intersect(gt, pt)) as double) / len(pt))
+                 * (cast(len(list_intersect(gt, pt)) as double) / len(gt))
+               / ((cast(len(list_intersect(gt, pt)) as double) / len(pt))
+                  + (cast(len(list_intersect(gt, pt)) as double) / len(gt)))
+        end"""
+    return f"""{head.rstrip().rstrip(',')},
+        idx as (
+          select conv_id, pred, obj,
+                 cast(string_split(conv_id, '_')[2] as int) as i_
+          from trip),
+        predicted as (
+          -- deterministic corruption so exact/f1 are non-vacuous: every
+          -- idx%5==2 conv's objects get ' X' appended; idx%7==3 convs
+          -- lose their nome_pai prediction entirely
+          select conv_id, pred,
+                 case when i_ % 5 = 2 then obj || ' X' else obj end as obj
+          from idx
+          where not (i_ % 7 = 3 and pred = 'form.nome_pai')),
+        golden as (
+          select conv_id, pred, obj as gold_obj from '{goldens}'),
+        paired as (
+          select coalesce(p.conv_id, g.conv_id) as document_id,
+                 coalesce(p.pred, g.pred) as example_id,
+                 coalesce(p.obj, '') as prediction,
+                 coalesce(g.gold_obj, '') as label
+          from predicted p
+          full join golden g
+            on p.conv_id = g.conv_id and p.pred = g.pred),
+        keyed as (
+          -- group_keys for plain dotted ids with non-numeric '_' tails:
+          -- [class prefix, full id] (postprocess.group_keys_expr)
+          select document_id, prediction, label, k.group_key
+          from paired,
+          lateral unnest([string_split(example_id, '.')[1], example_id])
+            as k(group_key)),
+        scored as (
+          select group_key,
+                 case when {norm('label')} = {norm('prediction')}
+                      then 1 else 0 end as exact,
+                 round({f1row}, 6) as f1r
+          from (select *, {toks('label')} as gt, {toks('prediction')} as pt
+                from keyed))
+        select group_key,
+               cast(sum(exact) as bigint) as exact_hits,
+               cast(round(sum(f1r) * 1000000) as bigint) as f1_micro,
+               cast(count(*) as bigint) as total
+        from scored group by rollup(group_key)
+    """

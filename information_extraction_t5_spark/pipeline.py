@@ -69,6 +69,11 @@ class PipelineConfig:
     ground: bool = False          # fuzzy span grounding (extra Arrow stage)
     fuzzy_link: bool = True       # LSH-blocked fuzzy name linking
     fuzzy_link_max_dist: int = 2  # levenshtein budget for blocked pairs
+    fuzzy_hash: str = "md5"       # 'md5' = oracle-replayable signatures
+    # (DuckDB computes the identical minhash); 'xxhash64' is ~5x cheaper
+    # per hash for ultra-scale runs — the stage only hashes |distinct
+    # names|, so md5 is the default and the whole pipeline stays
+    # cross-engine checkable
     # (identity matching is stricter than span matching; the reference's
     # span schedule allows 5 edits for long strings, highlights.py:96-106)
     subj_buckets: int = 64        # subj-hash write partitioning
@@ -123,7 +128,8 @@ def candidates_to_triples(scored: DataFrame, cfg: PipelineConfig,
     )
 
 
-def fuzzy_name_edges(triples: DataFrame, max_dist: int = 3) -> DataFrame:
+def fuzzy_name_edges(triples: DataFrame, max_dist: int = 3,
+                     hash_fn: str = "md5") -> DataFrame:
     """Extra mention-mention edges from NEAR-duplicate person names.
 
     The scale-safe fuzzy path of the north star: minhash-LSH blocking over
@@ -157,7 +163,7 @@ def fuzzy_name_edges(triples: DataFrame, max_dist: int = 3) -> DataFrame:
     # enough to catch <=2-edit typos on 20+-char names
     cand = lsh_candidate_pairs(name_rep, "id", "name",
                                n_hashes=16, bands=4, k=3, max_bucket=64,
-                               fast=True)
+                               fast=(hash_fn != "md5"))
     kept = levenshtein_rerank(cand, name_rep, "id", "name",
                               max_dist=max_dist)
     return kept.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -183,7 +189,7 @@ def canonicalize_subjects(triples: DataFrame,
         )
     )
     extra = (
-        fuzzy_name_edges(triples, cfg.fuzzy_link_max_dist)
+        fuzzy_name_edges(triples, cfg.fuzzy_link_max_dist, cfg.fuzzy_hash)
         if cfg.fuzzy_link else None
     )
     mapping = canonical_entities(keys, "conv_id", "mention_key",
