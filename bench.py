@@ -101,7 +101,43 @@ def headline_queries():
     return {n: qs[n] for n in names}
 
 
-def bench_once(sf_dir: str, cpus: int) -> dict:
+def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
+                 model_cost_ms: float = 30.0, convs: int = 12_000) -> dict:
+    """Machine-checkable two-parallelism evidence embedded in the default
+    bench output (VERDICT r2 item 8): the calibrated KG job (30 ms/window
+    emulated model cost — the regex stand-in is ~1000x cheaper than the
+    batched seq2seq it replaces) at local[n_low] and local[n_high], same
+    input layout, fresh JVMs.  Smaller corpus than --scaling's so the
+    default bench stays minutes, not tens of minutes."""
+    out: dict = {}
+    env = dict(os.environ, SPARK_DRIVER_MEM="24g")
+    for cpus in (n_low, n_high):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--cpus", str(cpus), "--sf-dir", sf_dir, "--kg-only",
+             "--model-cost-ms", str(model_cost_ms), "--convs", str(convs),
+             "--partitions", "256", "--repeats", "1"],
+            capture_output=True, text=True, timeout=3600, env=env,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+    lo, hi = out[n_low], out[n_high]
+    ratio = hi["triples_per_sec"] / lo["triples_per_sec"]
+    return {
+        "model_cost_ms": model_cost_ms,
+        "convs": convs,
+        "low_cpus": n_low,
+        "high_cpus": n_high,
+        "low_sec": lo["value"],
+        "high_sec": hi["value"],
+        "low_triples_per_sec": lo["triples_per_sec"],
+        "high_triples_per_sec": hi["triples_per_sec"],
+        "speedup": round(ratio, 3),
+        "efficiency": round(ratio / (n_high / n_low), 3),
+    }
+
+
+def bench_once(sf_dir: str, cpus: int, with_scaling: bool = True) -> dict:
     spark = build_spark(cpus)
     sf = sf_of(sf_dir)
     times: dict = {}
@@ -116,7 +152,7 @@ def bench_once(sf_dir: str, cpus: int) -> dict:
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    return {
+    result = {
         "metric": "end_to_end_sec",
         "value": total,
         "unit": "sec",
@@ -127,6 +163,10 @@ def bench_once(sf_dir: str, cpus: int) -> dict:
         "kg_triples": n_triples,
         "triples_per_sec": round(n_triples / kg_sec, 2),
     }
+    if with_scaling:
+        spark.stop()  # free the cores for the two scaling subprocesses
+        result["scaling"] = scaling_pair(sf_dir)
+    return result
 
 
 def run_scaling(sf_dir: str, n_low: int, n_high: int,
@@ -245,6 +285,8 @@ def main():
                     help="override corpus size (default: sf-derived)")
     ap.add_argument("--partitions", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--no-scaling", action="store_true",
+                    help="skip the embedded local[8]/local[32] pair")
     args = ap.parse_args()
 
     if args.scaling:
@@ -275,7 +317,8 @@ def main():
         }))
         return
 
-    print(json.dumps(bench_once(args.sf_dir, args.cpus)))
+    print(json.dumps(bench_once(args.sf_dir, args.cpus,
+                                with_scaling=not args.no_scaling)))
 
 
 if __name__ == "__main__":
