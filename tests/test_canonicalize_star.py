@@ -78,3 +78,26 @@ def test_canonical_entities_chain_across_keys(spark):
            for r in canonical_entities(mentions).collect()}
     assert got["A"] == got["B"] == got["C"] == got["D"] == "A"
     assert got["E"] == "E"
+
+
+@pytest.mark.parametrize("case", ["path", "random"])
+def test_driver_fast_path_matches_distributed(spark, case):
+    """The small-graph union-find fast path and the distributed star
+    contraction must label identically (driver_threshold=0 forces the
+    10^12-scale path)."""
+    if case == "path":
+        edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)]
+    else:
+        r = random.Random(11)
+        edges = [
+            (f"v{r.randint(0, 99):03d}", f"v{r.randint(0, 99):03d}")
+            for _ in range(120)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {r["node"]: r["component"]
+            for r in connected_components_star(df).collect()}
+    dist = {r["node"]: r["component"]
+            for r in connected_components_star(
+                df, driver_threshold=0).collect()}
+    assert fast == dist == _truth(edges)
