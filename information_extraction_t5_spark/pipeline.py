@@ -155,7 +155,14 @@ def fuzzy_name_edges(triples: DataFrame, max_dist: int = 3,
         )
         .groupBy("name")
         .agg(F.min("id").alias("id"))
-        # consumed by the bucket build AND both rerank joins
+        # consumed by the bucket build AND both rerank joins.  Measured
+        # (r3): do NOT force a repartition here to spread the minhash
+        # compute — at |distinct names| ~ 10^4 the AQE-coalesced 1-2
+        # partition layout beats any explicit spread, because every
+        # downstream mini-stage of the LSH chain then pays per-task
+        # scheduling on partitions it doesn't need (8.9s vs 14.2s tail
+        # wall at local[32]).  At cluster scale |distinct names| grows
+        # past AQE's advisory bytes and the coalesce widens on its own.
         .localCheckpoint(eager=True)
     )
     # 4 bands x 4 hashes: bucket-match threshold ~Jaccard 0.7 — tight
