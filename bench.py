@@ -47,12 +47,31 @@ def build_spark(cpus: int):
     return spark
 
 
+def read_steal_seconds() -> float:
+    """VM-wide hypervisor steal time (CPU-seconds) from /proc/stat.
+
+    Co-tenant load on this host surfaces as steal; it asymmetrically
+    inflates wide-parallelism legs (a 32-thread job needs every vCPU, an
+    8-thread job absorbs steal with idle capacity), which would silently
+    bias a scaling pair downward.  Measuring it makes external
+    interference a reported quantity instead of unexplained variance."""
+    try:
+        with open("/proc/stat") as f:
+            vals = f.readline().split()[1:]
+        return int(vals[7]) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return 0.0
+
+
 def run_kg_pipeline(spark, n_convs: int, cpus: int,
                     model_cost_ms: float = 0.0, warmup: bool = True,
                     partitions: int = 0, repeats: int = 1):
-    """Returns (n_triples, best seconds over ``repeats`` timed runs).
+    """Returns (n_triples, best seconds, steal CPU-seconds during best).
 
-    A small untimed warm-up run first: cold numbers measure JIT +
+    "Best" = minimum steal-corrected wall (wall - steal/cpus) over
+    ``repeats`` timed runs; the returned seconds are the RAW wall of that
+    run, the steal during it is returned alongside so callers can report
+    both.  A small untimed warm-up run first: cold numbers measure JIT +
     Python-worker spawn, not the engine.  ``partitions`` pins the input
     layout (scaling runs hold it constant across core counts — same data
     layout, more workers, like adding executors to a cluster)."""
@@ -73,13 +92,16 @@ def run_kg_pipeline(spark, n_convs: int, cpus: int,
     transcripts = synth.transcripts_df(
         spark, n_convs, partitions=partitions or max(4 * cpus, 16)
     )
-    best, n = None, 0
+    best, best_steal, n = None, 0.0, 0
     for _ in range(max(repeats, 1)):
+        s0 = read_steal_seconds()
         t0 = time.time()
         n = run_pipeline(spark, transcripts, cfg).count()
         dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return n, best
+        steal = max(read_steal_seconds() - s0, 0.0)
+        if best is None or dt - steal / cpus < best - best_steal / cpus:
+            best, best_steal = dt, steal
+    return n, best, best_steal
 
 
 def headline_queries():
@@ -135,10 +157,14 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
         )
         line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
         parsed = json.loads(line)
-        if cpus not in out or parsed["value"] < out[cpus]["value"]:
+        if (cpus not in out
+                or parsed["value_steal_corrected"]
+                < out[cpus]["value_steal_corrected"]):
             out[cpus] = parsed
     lo, hi = out[n_low], out[n_high]
     ratio = hi["triples_per_sec"] / lo["triples_per_sec"]
+    ratio_c = (hi["triples_per_sec_corrected"]
+               / lo["triples_per_sec_corrected"])
     return {
         "model_cost_ms": model_cost_ms,
         "convs": convs,
@@ -150,6 +176,16 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
         "high_triples_per_sec": hi["triples_per_sec"],
         "speedup": round(ratio, 3),
         "efficiency": round(ratio / (n_high / n_low), 3),
+        # same pair with the measured per-lane hypervisor steal backed
+        # out of each leg: the engine's scaling with the co-tenant's
+        # workload removed.  steal hits the wide leg ~4x harder (no idle
+        # vCPUs to absorb it), so raw efficiency under-reads under load.
+        "low_steal_cpu_sec": lo["steal_cpu_sec"],
+        "high_steal_cpu_sec": hi["steal_cpu_sec"],
+        "low_sec_corrected": lo["value_steal_corrected"],
+        "high_sec_corrected": hi["value_steal_corrected"],
+        "speedup_corrected": round(ratio_c, 3),
+        "efficiency_corrected": round(ratio_c / (n_high / n_low), 3),
     }
 
 
@@ -159,7 +195,7 @@ def bench_once(sf_dir: str, cpus: int, with_scaling: bool = True) -> dict:
     times: dict = {}
 
     n_convs = max(int(CONVS_PER_SF * sf), 50)
-    n_triples, kg_sec = run_kg_pipeline(spark, n_convs, cpus)
+    n_triples, kg_sec, _ = run_kg_pipeline(spark, n_convs, cpus)
     times["kg_pipeline"] = round(kg_sec, 3)
 
     for name, fn in headline_queries().items():
@@ -316,10 +352,11 @@ def main():
         spark = build_spark(args.cpus)
         sf = sf_of(args.sf_dir)
         n_convs = args.convs or max(int(CONVS_PER_SF * sf), 50)
-        n_triples, kg_sec = run_kg_pipeline(
+        n_triples, kg_sec, steal = run_kg_pipeline(
             spark, n_convs, args.cpus, model_cost_ms=args.model_cost_ms,
             partitions=args.partitions, repeats=args.repeats,
         )
+        corrected = max(kg_sec - steal / args.cpus, 0.001)
         print(json.dumps({
             "metric": "kg_pipeline_sec",
             "value": round(kg_sec, 3),
@@ -330,6 +367,12 @@ def main():
             "kg_convs": n_convs,
             "kg_triples": n_triples,
             "triples_per_sec": round(n_triples / kg_sec, 2),
+            # hypervisor steal observed VM-wide during the timed run, and
+            # the wall with the per-lane share of it backed out — external
+            # co-tenant interference made visible instead of noise
+            "steal_cpu_sec": round(steal, 1),
+            "value_steal_corrected": round(corrected, 3),
+            "triples_per_sec_corrected": round(n_triples / corrected, 2),
         }))
         return
 
