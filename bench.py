@@ -142,12 +142,8 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
     minutes, not tens of minutes."""
     out: dict = {}
     env = dict(os.environ, SPARK_DRIVER_MEM="24g")
-    # two INTERLEAVED passes (low, high, low, high), best wall per level:
-    # this host sees multi-minute co-tenant CPU-steal windows that can
-    # inflate a single leg 30-60%; interleaving decorrelates a steal
-    # window from one parallelism level so the per-level minimum is a
-    # clean measurement of the engine, not of the neighbor's workload
-    for cpus in (n_low, n_high, n_low, n_high):
+
+    def leg(cpus: int) -> None:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--cpus", str(cpus), "--sf-dir", sf_dir, "--kg-only",
@@ -161,6 +157,22 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
                 or parsed["value_steal_corrected"]
                 < out[cpus]["value_steal_corrected"]):
             out[cpus] = parsed
+
+    def steal_frac(cpus: int) -> float:
+        p = out[cpus]
+        return p["steal_cpu_sec"] / max(cpus * p["value"], 1e-9)
+
+    # one pass per level, then RETRY (once, interleaved order) any leg that
+    # measurably ran inside a co-tenant steal window: this host sees
+    # multi-minute steal bursts that inflate a leg 30-60% — the wide leg
+    # especially, since 32 runnable vCPUs have no idle capacity to absorb
+    # steal — which would randomly sink the recorded efficiency.  Best
+    # steal-corrected run per level wins; quiet hosts pay no retries.
+    for cpus in (n_low, n_high):
+        leg(cpus)
+    for cpus in (n_low, n_high):
+        if steal_frac(cpus) > 0.05:
+            leg(cpus)
     lo, hi = out[n_low], out[n_high]
     ratio = hi["triples_per_sec"] / lo["triples_per_sec"]
     ratio_c = (hi["triples_per_sec_corrected"]
