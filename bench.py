@@ -263,22 +263,26 @@ def run_scaling(sf_dir: str, n_low: int, n_high: int,
                     if l.startswith("{")][-1]
             results[(label, cpus)] = json.loads(line)
 
-    def eff(label):
-        lo = results[(label, n_low)]["triples_per_sec"]
-        hi = results[(label, n_high)]["triples_per_sec"]
+    def eff(label, key="triples_per_sec"):
+        lo = results[(label, n_low)][key]
+        hi = results[(label, n_high)][key]
         return round(hi / lo, 3), round((hi / lo) / (n_high / n_low), 3)
 
     raw_speedup, raw_eff = eff("raw")
     cal_speedup, cal_eff = eff("calibrated")
+    _, raw_eff_c = eff("raw", "triples_per_sec_corrected")
+    _, cal_eff_c = eff("calibrated", "triples_per_sec_corrected")
     return {
         "sf_dir": sf_dir,
         "model_cost_ms": model_cost_ms,
         "raw": {"low": results[("raw", n_low)],
                 "high": results[("raw", n_high)],
-                "speedup": raw_speedup, "efficiency": raw_eff},
+                "speedup": raw_speedup, "efficiency": raw_eff,
+                "efficiency_corrected": raw_eff_c},
         "calibrated": {"low": results[("calibrated", n_low)],
                        "high": results[("calibrated", n_high)],
-                       "speedup": cal_speedup, "efficiency": cal_eff},
+                       "speedup": cal_speedup, "efficiency": cal_eff,
+                       "efficiency_corrected": cal_eff_c},
     }
 
 
@@ -308,13 +312,17 @@ forward pass per row, models/qa_model.py:327-342).  This measures what actually 
 cluster scale: whether the engine keeps 4N workers busy when per-row work
 is model-shaped.
 
-| parallelism | wall (s) | triples/sec |
-|---|---|---|
-| local[{cal_lo['cpus']}] | {cal_lo['queries']['kg_pipeline']} | {cal_lo['triples_per_sec']} |
-| local[{cal_hi['cpus']}] | {cal_hi['queries']['kg_pipeline']} | {cal_hi['triples_per_sec']} |
+| parallelism | wall (s) | triples/sec | steal cpu-s during leg |
+|---|---|---|---|
+| local[{cal_lo['cpus']}] | {cal_lo['queries']['kg_pipeline']} | {cal_lo['triples_per_sec']} | {cal_lo.get('steal_cpu_sec', 0)} |
+| local[{cal_hi['cpus']}] | {cal_hi['queries']['kg_pipeline']} | {cal_hi['triples_per_sec']} | {cal_hi.get('steal_cpu_sec', 0)} |
 
 - speedup {cal_lo['cpus']} -> {cal_hi['cpus']} cores: **{s['calibrated']['speedup']}x**
-- scaling efficiency: **{s['calibrated']['efficiency']}**
+- scaling efficiency: **{s['calibrated']['efficiency']}** (raw walls);
+  **{s['calibrated'].get('efficiency_corrected', 'n/a')}** with the measured
+  per-lane hypervisor steal backed out of each leg (co-tenant VM load
+  surfaces as steal and hits the wide leg hardest — 32 runnable vCPUs
+  have no idle capacity to absorb it; see BENCH/notes_r3.md)
 
 ## Raw (regex-only) job, for transparency
 
