@@ -87,7 +87,9 @@ def run_kg_pipeline(spark, n_convs: int, cpus: int,
     cfg = PipelineConfig(model_cost_ms=model_cost_ms, fuzzy_hash="xxhash64")
     if warmup:
         warm = synth.transcripts_df(spark, 100, partitions=2 * cpus)
-        run_pipeline(spark, warm, PipelineConfig()).count()
+        # same fuzzy-hash path as the timed runs so its codegen is warm
+        run_pipeline(spark, warm,
+                     PipelineConfig(fuzzy_hash="xxhash64")).count()
 
     transcripts = synth.transcripts_df(
         spark, n_convs, partitions=partitions or max(4 * cpus, 16)
