@@ -91,18 +91,20 @@ def t5_label(
     if not use_sentence_id:
         return answer
     if isinstance(answer_start, list):
+        # Byte-for-byte the reference algorithm (preprocess.py:286-310):
+        # pieces keep their own spacing, SENT tags are '{}' placeholders
+        # filled positionally, and a too-short start list raises IndexError.
+        # Pinned by the differential fuzz harness
+        # (tests/test_reference_differential.py::test_t5_label_compound).
         pieces = answer.split("[")[1:]
-        tagged = []
-        starts = iter(answer_start)
+        sids = [sent_id_at(context, s) for s in answer_start]
+        out = ""
         for piece in pieces:
             if piece.startswith("aparece no texto"):
-                tagged.append(f"[{piece}")
+                out += f"[{piece}"
             else:
-                sid = sent_id_at(context, next(starts, -1))
-                tagged.append(f"[SENT{sid}] [{piece}")
-        return "".join(tagged).strip() if not tagged else " ".join(
-            t.strip() for t in tagged
-        )
+                out += f"[SENT{{}}] [{piece}"
+        return out.format(*sids)
     if isinstance(answer_start, int):
         sid = sent_id_at(context, answer_start)
         return f"[SENT{sid}] {answer}"
