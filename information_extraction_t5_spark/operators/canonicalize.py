@@ -102,12 +102,15 @@ def _driver_union_find(pairs) -> list:
     return [(n, find(n)) for n in parent]
 
 
+DEFAULT_DRIVER_THRESHOLD = 100_000
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = DEFAULT_DRIVER_THRESHOLD,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond").
@@ -128,10 +131,22 @@ def connected_components_star(
     semantics; pinned by test_canonicalize_star parity tests).  The
     distributed contraction is the 10^12-scale path; set
     ``driver_threshold=0`` to force it.
+
+    Driver-memory sizing: the fast path collects up to ``driver_threshold``
+    (a, b) string tuples plus the union-find dict — roughly 150-200 bytes
+    per edge of Python overhead, so the 100k default costs ~20 MB and fits
+    Spark's default 1g driver.  Raise it only with driver memory to match
+    (bench.py runs with SPARK_DRIVER_MEM=24g); plumbed through
+    ``PipelineConfig.cc_driver_threshold`` so deployments size it without
+    code changes.  The gate itself is a bounded probe
+    (``limit(threshold+1)``), not a full count, so at 10^12-turn scale it
+    early-exits instead of scanning the whole edge set.
     """
     e = _symmetric(edges, src, dst).localCheckpoint(eager=True)
 
-    if driver_threshold > 0 and e.count() <= driver_threshold:
+    if driver_threshold > 0 and (
+        e.limit(driver_threshold + 1).count() <= driver_threshold
+    ):
         # schema mirrors the distributed path: node/component keep the
         # edge columns' type (string ids in practice, but not assumed)
         node_type = e.schema["a"].dataType
@@ -207,6 +222,7 @@ def canonical_entities(
     mention_col: str = "conv_id",
     key_col: str = "mention_key",
     extra_edges: DataFrame = None,
+    driver_threshold: int = DEFAULT_DRIVER_THRESHOLD,
 ) -> DataFrame:
     """(mention, canonical_id): mentions sharing any key are one entity.
 
@@ -237,7 +253,7 @@ def canonical_entities(
         )
     # star contraction: O(log n) rounds on any shape (mention CHAINS across
     # shared keys would make min-label propagation O(chain length))
-    comps = connected_components_star(edges)
+    comps = connected_components_star(edges, driver_threshold=driver_threshold)
     all_mentions = pairs.select("mention").distinct()
     if extra_edges is not None:
         all_mentions = (

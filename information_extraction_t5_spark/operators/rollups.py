@@ -9,6 +9,8 @@
 """
 from __future__ import annotations
 
+import logging
+
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,16 +83,24 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a dropped-from-metastore table can leave its managed location behind
-    # (fresh in-memory catalogs don't know about old runs); clear it
-    try:
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        import shutil
-        from urllib.parse import urlparse
+    # (fresh in-memory catalogs don't know about old runs); clear it.
+    # Only missing-path is silent: any other I/O failure is logged because
+    # a stale directory makes the saveAsTable below collide, and the log
+    # line is the breadcrumb that explains it.  Non-I/O errors propagate.
+    import shutil
+    from urllib.parse import urlparse
 
-        loc = urlparse(warehouse).path or warehouse
-        shutil.rmtree(f"{loc}/{table.lower()}", ignore_errors=True)
-    except Exception:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = urlparse(warehouse).path or warehouse
+    try:
+        shutil.rmtree(f"{loc}/{table.lower()}")
+    except FileNotFoundError:
         pass
+    except OSError as exc:
+        logging.getLogger(__name__).warning(
+            "stale warehouse cleanup failed for table %s at %s/%s: %s",
+            table, loc, table.lower(), exc,
+        )
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

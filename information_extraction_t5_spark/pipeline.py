@@ -77,6 +77,11 @@ class PipelineConfig:
     # (identity matching is stricter than span matching; the reference's
     # span schedule allows 5 edits for long strings, highlights.py:96-106)
     subj_buckets: int = 64        # subj-hash write partitioning
+    cc_driver_threshold: int = 100_000
+    # max symmetric mention-graph edges the canonicalize stage may collect
+    # for the driver-side union-find fast path (~20 MB at the default; see
+    # canonicalize.connected_components_star).  0 forces the distributed
+    # star contraction; size up only with driver memory to match.
 
 
 def build_windows(transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -200,7 +205,8 @@ def canonicalize_subjects(triples: DataFrame,
         if cfg.fuzzy_link else None
     )
     mapping = canonical_entities(keys, "conv_id", "mention_key",
-                                 extra_edges=extra)
+                                 extra_edges=extra,
+                                 driver_threshold=cfg.cc_driver_threshold)
     return (
         triples.join(
             mapping.withColumnRenamed("mention", "conv_id"), "conv_id", "left"

@@ -11,8 +11,12 @@ covered by a smoke test using the file source.
 """
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def sessionized_conversations(
@@ -214,12 +218,29 @@ def _make_chunker(chunk_turns: int, timeout_ms: int):
         if state.exists:
             idxs, texts, next_window, next_chunk = state.get
             pending = dict(zip(idxs, texts))
+            fresh_state = False
         else:
             pending, next_window, next_chunk = {}, 0, 0
+            fresh_state = True
 
         for pdf in pdfs:
             for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
                 pending[int(ti)] = tx
+
+        if fresh_state and pending and min(pending) >= chunk_turns:
+            # No state but turns arrive past window 0: either this
+            # conversation's state was dropped after two idle timeouts
+            # and a late turn restarts chunk numbering at 0 (the bounded-
+            # state tradeoff — duplicate (conv_id, chunk_id) keys are now
+            # possible downstream), or the first batch is deeply
+            # out-of-order.  Surfaced so re-numbering is observable in
+            # production instead of silent.
+            _LOG.warning(
+                "conv %s: turns at idx>=%d arrived with no state; chunk "
+                "numbering restarts at 0 (state dropped after idle "
+                "timeout, or out-of-order first batch)",
+                conv_id, chunk_turns,
+            )
 
         while True:
             want = range(next_window * chunk_turns,

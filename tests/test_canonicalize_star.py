@@ -101,3 +101,41 @@ def test_driver_fast_path_matches_distributed(spark, case):
             for r in connected_components_star(
                 df, driver_threshold=0).collect()}
     assert fast == dist == _truth(edges)
+
+
+def test_config_threshold_zero_forces_distributed_path(spark, monkeypatch):
+    """cc_driver_threshold is plumbed from PipelineConfig: 0 must reach the
+    distributed star contraction (the union-find fast path never runs),
+    while the default config takes the fast path on a small graph."""
+    from information_extraction_t5_spark.operators import canonicalize as cz
+    from information_extraction_t5_spark.pipeline import (
+        PipelineConfig,
+        canonicalize_subjects,
+    )
+
+    calls = []
+    real = cz._driver_union_find
+    monkeypatch.setattr(
+        cz, "_driver_union_find", lambda pairs: calls.append(1) or real(pairs)
+    )
+
+    triples = spark.createDataFrame(
+        [("c1", "form.cpf", "111"), ("c2", "form.cpf", "111"),
+         ("c1", "form.nome_completo", "Ana Silva"),
+         ("c3", "form.nome_completo", "Ana Silva")],
+        "conv_id string, pred string, obj string",
+    )
+
+    cfg0 = PipelineConfig(fuzzy_link=False, cc_driver_threshold=0)
+    out0 = {r["conv_id"]: r["subj"]
+            for r in canonicalize_subjects(triples, cfg0).select(
+                "conv_id", "subj").distinct().collect()}
+    assert calls == []  # distributed path only
+
+    cfg_fast = PipelineConfig(fuzzy_link=False)
+    out_fast = {r["conv_id"]: r["subj"]
+                for r in canonicalize_subjects(triples, cfg_fast).select(
+                    "conv_id", "subj").distinct().collect()}
+    assert calls  # fast path taken by default on a tiny graph
+    assert out0 == out_fast
+    assert out0["c1"] == out0["c2"] == out0["c3"] == "ent:c1"

@@ -1,5 +1,6 @@
 """Multi-grain time rollups + shuffle-free bucketed joins."""
 import io
+import pytest
 import sys
 
 from pyspark.sql import functions as F
@@ -65,3 +66,28 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_write_bucketed_cleanup_error_handling(spark, monkeypatch):
+    """Missing stale dir is silent, other OSErrors are logged-but-survived,
+    and non-I/O errors PROPAGATE (the old bare except swallowed them)."""
+    import shutil
+
+    from information_extraction_t5_spark.operators import rollups
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+
+    def boom(path):
+        raise RuntimeError("not an I/O problem")
+
+    monkeypatch.setattr(shutil, "rmtree", boom)
+    with pytest.raises(RuntimeError, match="not an I/O problem"):
+        rollups.write_bucketed(df, "bkt_err_tbl", "k")
+
+    def denied(path):
+        raise PermissionError("denied")  # an OSError: logged, not fatal
+
+    monkeypatch.setattr(shutil, "rmtree", denied)
+    rollups.write_bucketed(df, "bkt_err_tbl", "k")
+    assert spark.table("bkt_err_tbl").count() == 1
+    spark.sql("DROP TABLE IF EXISTS bkt_err_tbl")

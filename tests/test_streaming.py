@@ -235,3 +235,40 @@ def test_chunk_flush_splits_at_window_boundary():
     pending = {j: f"t{j}" for j in [5, 6, 7, 8, 9]}  # crosses 8 (4-turn)
     assert _flush_runs(pending, 4) == [[5, 6, 7], [8, 9]]
     assert _flush_runs({1: "a", 3: "b"}, 4) == [[1], [3]]
+
+
+def test_chunk_restart_after_drop_is_observable(caplog):
+    """After the state record is dropped (second idle timeout), a late turn
+    restarts numbering at 0 — and the chunker logs the restart so it is
+    observable in production (VERDICT r3 nit 3)."""
+    import logging
+
+    from information_extraction_t5_spark.streaming.ingest import (
+        _make_chunker,
+    )
+
+    fn = _make_chunker(chunk_turns=4, timeout_ms=1000)
+
+    # full lifecycle: chunk 0 completes, idle flush, second idle drop
+    st = _FakeState()
+    _drive(fn, "c", st, [(i, f"t{i}") for i in range(4)])
+    st.hasTimedOut = True
+    _drive(fn, "c", st, [])  # flush (nothing pending, record dropped)
+    assert st.removed
+
+    # late turn 17 arrives after the drop: numbering restarts AND warns
+    st.hasTimedOut = False
+    with caplog.at_level(
+        logging.WARNING, logger="information_extraction_t5_spark.streaming.ingest"
+    ):
+        _drive(fn, "c", st, [(17, "t17")])
+    assert any("restarts" in r.message for r in caplog.records)
+
+    # a genuinely-new conversation starting at turn 0 does NOT warn
+    caplog.clear()
+    st2 = _FakeState()
+    with caplog.at_level(
+        logging.WARNING, logger="information_extraction_t5_spark.streaming.ingest"
+    ):
+        _drive(fn, "d", st2, [(0, "a"), (1, "b")])
+    assert not caplog.records
