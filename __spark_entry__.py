@@ -14,6 +14,8 @@ Oracle-parity rules used throughout (see tests/test_queries_oracle.py):
 """
 from __future__ import annotations
 
+import os as _os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2229,10 +2231,14 @@ def oracle_sql() -> dict[str, str]:
 
     # ---- multimodal feature stub, replayed from the committed fixture:
     # feature[d] = round(byte_d(sha256(payload)) / 255, 6) ----
-    o["media_features"] = """
+    _media_fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "fixtures", "media_48.parquet",
+    )
+    o["media_features"] = f"""
         with m as (
           select media_id, kind, sha256(lower(hex(payload))) as h
-          from '/root/repo/tests/fixtures/media_48.parquet'),
+          from '{_media_fixture}'),
         d as (select unnest(generate_series(0, 7)) as dim)
         select m.media_id, m.kind, cast(d.dim as int) as dim,
                round((('0x' || substr(m.h, 2 * d.dim + 1, 2))::bigint)

@@ -47,6 +47,43 @@ def build_spark(cpus: int):
     return spark
 
 
+def steal_wall_share(steal_cpu_sec: float) -> float:
+    """Wall-clock seconds of a leg attributable to hypervisor steal.
+
+    /proc/stat steal is VM-wide CPU-seconds across ALL host vCPUs.  A leg
+    running on ``cpus`` lanes is only hit by the share of steal landing on
+    its own lanes — assuming steal spreads uniformly, that share is
+    steal * cpus/os.cpu_count(), and its wall impact divides by the leg's
+    ``cpus`` again: wall_loss = steal / os.cpu_count(), independent of leg
+    width.  (The previous formula divided VM-wide steal by the leg's own
+    thread count, charging a local[8] leg steal from 24 lanes it never
+    used — over-correcting narrow legs; ADVICE r3.)"""
+    return steal_cpu_sec / max(os.cpu_count() or 1, 1)
+
+
+def run_leg_subprocess(cmd: list, env: dict, timeout: int = 3600) -> dict:
+    """Run a bench subprocess leg and parse its one-line JSON result.
+
+    A crashed/OOM'd leg previously surfaced as an IndexError with the real
+    stderr swallowed (ADVICE r3); now the returncode and a missing JSON
+    line both raise with the stderr tail attached."""
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
+                       env=env)
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"bench leg failed (rc={r.returncode}): {' '.join(cmd[-8:])}\n"
+            f"stderr tail:\n{r.stderr[-2000:]}"
+        )
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench leg emitted no JSON line: {' '.join(cmd[-8:])}\n"
+            f"stdout tail:\n{r.stdout[-500:]}\n"
+            f"stderr tail:\n{r.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
+
+
 def read_steal_seconds() -> float:
     """VM-wide hypervisor steal time (CPU-seconds) from /proc/stat.
 
@@ -101,7 +138,9 @@ def run_kg_pipeline(spark, n_convs: int, cpus: int,
         n = run_pipeline(spark, transcripts, cfg).count()
         dt = time.time() - t0
         steal = max(read_steal_seconds() - s0, 0.0)
-        if best is None or dt - steal / cpus < best - best_steal / cpus:
+        if (best is None
+                or dt - steal_wall_share(steal)
+                < best - steal_wall_share(best_steal)):
             best, best_steal = dt, steal
     return n, best, best_steal
 
@@ -146,23 +185,22 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
     env = dict(os.environ, SPARK_DRIVER_MEM="24g")
 
     def leg(cpus: int) -> None:
-        r = subprocess.run(
+        parsed = run_leg_subprocess(
             [sys.executable, os.path.abspath(__file__),
              "--cpus", str(cpus), "--sf-dir", sf_dir, "--kg-only",
              "--model-cost-ms", str(model_cost_ms), "--convs", str(convs),
              "--partitions", "256", "--repeats", "1"],
-            capture_output=True, text=True, timeout=3600, env=env,
+            env,
         )
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        parsed = json.loads(line)
         if (cpus not in out
                 or parsed["value_steal_corrected"]
                 < out[cpus]["value_steal_corrected"]):
             out[cpus] = parsed
 
     def steal_frac(cpus: int) -> float:
+        # fraction of the leg's wall lost to steal on its own lanes
         p = out[cpus]
-        return p["steal_cpu_sec"] / max(cpus * p["value"], 1e-9)
+        return steal_wall_share(p["steal_cpu_sec"]) / max(p["value"], 1e-9)
 
     # one pass per level, then RETRY (once, interleaved order) any leg that
     # measurably ran inside a co-tenant steal window: this host sees
@@ -254,16 +292,13 @@ def run_scaling(sf_dir: str, n_low: int, n_high: int,
     ):
         repeats = "1" if cost else "2"
         for cpus in (n_low, n_high):
-            out = subprocess.run(
+            results[(label, cpus)] = run_leg_subprocess(
                 [sys.executable, os.path.abspath(__file__),
                  "--cpus", str(cpus), "--sf-dir", sf_dir, "--kg-only",
                  "--model-cost-ms", str(cost), "--convs", str(convs),
                  "--partitions", "256", "--repeats", repeats],
-                capture_output=True, text=True, timeout=3600, env=env,
+                env,
             )
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            results[(label, cpus)] = json.loads(line)
 
     def eff(label, key="triples_per_sec"):
         lo = results[(label, n_low)][key]
@@ -378,7 +413,7 @@ def main():
             spark, n_convs, args.cpus, model_cost_ms=args.model_cost_ms,
             partitions=args.partitions, repeats=args.repeats,
         )
-        corrected = max(kg_sec - steal / args.cpus, 0.001)
+        corrected = max(kg_sec - steal_wall_share(steal), 0.001)
         print(json.dumps({
             "metric": "kg_pipeline_sec",
             "value": round(kg_sec, 3),

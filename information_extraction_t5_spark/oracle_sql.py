@@ -23,9 +23,15 @@ Engine-parity notes (all pinned by tests/test_oracle_windows_sql.py):
 """
 from __future__ import annotations
 
+import os
+
 from typing import List
 
-FIXTURE_TRANSCRIPTS = "/root/repo/tests/fixtures/transcripts_n40.parquet"
+# __file__-relative so the oracles resolve the SAME files as the parity
+# tests wherever the repo is checked out (ADVICE r3)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_FIXTURE_DIR = os.path.join(_REPO_ROOT, "tests", "fixtures")
+FIXTURE_TRANSCRIPTS = os.path.join(_FIXTURE_DIR, "transcripts_n40.parquet")
 
 
 def _question_prefix(question: str) -> str:
@@ -468,7 +474,7 @@ def kg_triples_sql(fixture: str = FIXTURE_TRANSCRIPTS,
     """
 
 
-FIXTURE_GOLDENS = "/root/repo/tests/fixtures/golden_triples_n40.parquet"
+FIXTURE_GOLDENS = os.path.join(_FIXTURE_DIR, "golden_triples_n40.parquet")
 
 
 def kg_eval_rollup_sql(fixture: str = FIXTURE_TRANSCRIPTS,
