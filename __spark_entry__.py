@@ -1342,23 +1342,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["question_choose_random"] = question_choose_random
 
-    # ---- driver-gate rotation (VERDICT r2 item 1) ----
-    # The driver's correctness file caps at the FIRST 50 entries; r1+r2
-    # spent that window on the same 50, so 25 oracle-backed queries never
-    # got a driver-green row.  Put those 25 first (scale-path operators:
-    # ANN, dedup, sampling, temporal joins, the kg_* flagship chain), then
-    # the rest in historical order — twice-green trivia lands behind 50.
+    # ---- driver-gate rotation (VERDICT r2 item 1; r3 item 2) ----
+    # The driver's correctness file caps at the FIRST 50 entries, so the
+    # window rotates every round: the entries that sat OUTSIDE the
+    # previous round's recorded window lead the next one, keeping every
+    # query driver-green within any 2 consecutive rounds.  r4 front = the
+    # 27 queries not in CORRECTNESS_r03.json (they were green in r1/r2);
+    # the 50 r3-green entries follow in historical order.
     front = [
-        "events_5min_rolling", "time_rollup_multigrain", "kg_asof_join",
-        "kg_range_join", "salted_join_equivalence", "ann_ivf_topk",
-        "knn_join_ivf", "knn_join_ivf_recall", "ann_lsh_recall",
-        "kg_token_windows", "kg_eval_rollup", "kg_triples",
-        "kg_exact_windows", "dedup_simhash_pairs", "dedup_jaccard_pairs",
-        "ann_lsh_topk", "media_features", "value_quantiles",
-        "curation_sample", "sample_docs_weighted",
-        "sample_orders_per_customer", "winnow_fingerprints", "kmeans_cells",
-        "dedup_cluster_survivors", "eval_rollup_grouped",
-        "question_expand_all", "question_choose_random",
+        "stopword_intersection", "alias_language_names", "token_stats",
+        "language_guess", "language_guess_ngram", "fingerprint_dup_groups",
+        "exact_dedup_survivors", "minhash_signatures", "embedding_topk",
+        "knn_join_small", "embedding_label_centroid_sim", "events_hourly",
+        "event_type_rollup", "report_sort_concat", "pivot_status_counts",
+        "subanswer_explode", "position_window", "f1_rollup_approx",
+        "quality_scores", "simhash_md5_fingerprints", "cosine_dup_pairs",
+        "txt_report_lines", "mispredictions", "group_key_explode",
+        "fuzzy_name_pairs", "user_sessions", "last_login_asof",
     ]
     assert set(front) <= set(q), sorted(set(front) - set(q))
     rotated = {name: q[name] for name in front}
