@@ -35,26 +35,18 @@ DIST_SCHEDULE: List[Tuple[int, int]] = [(3, 0), (10, 1), (20, 3), (30, 5)]
 
 
 # accented variants for fuzzy-regex construction (reference:
-# utils/processing.py:37-60)
-_COMPOSITE = {
-    "a": "aáàâã", "e": "eéè", "i": "ií", "o": "oóõ", "u": "uú", "c": "cç",
-}
+# utils/processing.py:48-59).  ANY member of a group expands to the whole
+# bracketed group ('á' -> '[aáàâã]', 'ç' -> '[cç]'), lowercase only —
+# byte-for-byte the reference behavior, pinned by the differential fuzz
+# harness (tests/test_reference_differential.py).
+_COMPOSITE_GROUPS = ["aáàâã", "eéê", "ií", "oóõ", "uúü", "cç"]
+_COMPOSITE = {ch: f"[{group}]" for group in _COMPOSITE_GROUPS for ch in group}
 
 
 def expand_composite_chars(pattern: str) -> str:
-    """'a' -> '[aáàâã]' etc., so a plain-ASCII term matches its accented
-    surface forms (reference: processing.py:37-60)."""
-    out = []
-    for ch in pattern:
-        low = ch.lower()
-        if low in _COMPOSITE:
-            chars = _COMPOSITE[low]
-            if ch.isupper():
-                chars = chars.upper()
-            out.append(f"[{chars}]")
-        else:
-            out.append(ch)
-    return "".join(out)
+    """Replace every composable char with its accent-group character class
+    (reference: processing.py:37-60)."""
+    return "".join(_COMPOSITE.get(ch, ch) for ch in pattern)
 
 
 def fuzzy_or_pattern(terms: List[str], max_edits: int = 1,

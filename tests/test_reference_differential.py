@@ -51,7 +51,13 @@ from information_extraction_t5.features.questions import type_map as ref_type_ma
 from information_extraction_t5.utils import metrics as ref_metrics
 from information_extraction_t5.utils import processing as ref_processing
 
-from information_extraction_t5_spark.core import compound, parsing, registry, textnorm
+from information_extraction_t5_spark.core import (
+    compound,
+    fuzzy,
+    parsing,
+    registry,
+    textnorm,
+)
 
 SETTINGS = settings(max_examples=150, deadline=None)
 
@@ -374,6 +380,36 @@ def test_intersection_set(a, b):
     assert sorted(ref_processing.get_intersection_set(a, b)) == sorted(
         set(a) & set(b)
     )
+
+
+# accented + plain text exercising every composite group member
+_ACCENT_TEXT = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzáàâãéêíóõúüç0123456789 -",
+    min_size=0, max_size=30,
+)
+
+
+@SETTINGS
+@given(_ACCENT_TEXT)
+def test_expand_composite_chars(text):
+    assert_same(
+        ref_processing.expand_composite_char_pattern,
+        fuzzy.expand_composite_chars,
+        text,
+    )
+
+
+@SETTINGS
+@given(st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0-9", min_size=1, max_size=8),
+    min_size=1, max_size=5,
+))
+def test_concat_or_terms(terms):
+    # the reference's default '{e<=1}' suffix is `regex`-module fuzzy
+    # syntax; the engine handles edit tolerance via the Levenshtein path,
+    # so parity is on the alternation-group construction itself
+    assert ref_processing.concat_or_terms(terms, suffix="") == \
+        fuzzy.fuzzy_or_pattern(terms, expand_accents=False)
 
 
 # ---------------------------------------------------------------------------
