@@ -11,6 +11,17 @@ Each commit writes a ``_lineage.json`` sidecar with row counts, wall time,
 partition count and input fingerprints — the per-partition lineage + metrics
 the north rule requires, committed atomically-enough for parquet (tmp dir +
 rename) and natively atomic under Iceberg.
+
+Explicit delta vs Iceberg-proper (r4; jars still absent from the sandbox):
+what IS exercised on the parquet fallback — stage skip/resume across JVMs
+(tests/test_submit.py poison-pill), lineage sidecars, partitioned layout
+with pruning (test_materialize_pruning), single-job commits.  What is NOT
+exercisable here — real snapshot ids, time travel / ``VERSION AS OF``,
+partition-spec evolution, hidden-partition transforms, and concurrent
+optimistic commits.  Wiring is a config change: register a
+``spark.sql.catalog.<name>`` SparkCatalog with a warehouse path and pass
+``fmt='iceberg'``; ``Catalog.write``/``stage`` paths already branch on the
+format string and nothing in the pipeline assumes file layout.
 """
 from __future__ import annotations
 
