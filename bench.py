@@ -198,9 +198,14 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
             out[cpus] = parsed
 
     def steal_frac(cpus: int) -> float:
-        # fraction of the leg's wall lost to steal on its own lanes
+        # retry trigger uses the PESSIMISTIC bound (all steal concentrated
+        # on the leg's own lanes: steal/cpus of wall) — the uniform-spread
+        # share used for *correction* under-reads legs where the
+        # co-tenant's load actually landed on the busy lanes, and a missed
+        # retry costs a whole recorded pair while a spurious one costs a
+        # few minutes
         p = out[cpus]
-        return steal_wall_share(p["steal_cpu_sec"]) / max(p["value"], 1e-9)
+        return p["steal_cpu_sec"] / max(cpus * p["value"], 1e-9)
 
     # one pass per level, then RETRY (once, interleaved order) any leg that
     # measurably ran inside a co-tenant steal window: this host sees
