@@ -207,14 +207,18 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
         p = out[cpus]
         return p["steal_cpu_sec"] / max(cpus * p["value"], 1e-9)
 
-    # one pass per level, then RETRY (once, interleaved order) any leg that
-    # measurably ran inside a co-tenant steal window: this host sees
-    # multi-minute steal bursts that inflate a leg 30-60% — the wide leg
-    # especially, since 32 runnable vCPUs have no idle capacity to absorb
-    # steal — which would randomly sink the recorded efficiency.  Best
-    # steal-corrected run per level wins; quiet hosts pay no retries.
-    for cpus in (n_low, n_high):
-        leg(cpus)
+    # TWO interleaved passes per level (8,32,8,32), best per level, then
+    # RETRY any leg that measurably ran inside a co-tenant steal window.
+    # Two unconditional passes are back (r4): the r3->r4 adaptive variant
+    # retried only on visible steal, but the wide leg also loses 15-25%
+    # to co-tenant interference that /proc/stat steal does NOT see
+    # (memory-bandwidth contention) — observed 90.4s vs 73.0s walls for
+    # identical legs minutes apart with only 2% visible steal.  A second
+    # sample per level is the only reliable defense; best-per-level is
+    # principled (least interference = closest to the engine).
+    for _ in range(2):
+        for cpus in (n_low, n_high):
+            leg(cpus)
     for cpus in (n_low, n_high):
         if steal_frac(cpus) > 0.05:
             leg(cpus)

@@ -18,6 +18,7 @@ the hot path.  Two implementations:
 from __future__ import annotations
 
 import math
+import os
 import re
 from typing import Iterator, List, Optional, Tuple
 
@@ -482,9 +483,23 @@ def run_extraction(
     cols = ["conv_id", "window_id", "window_offset", "window_text"]
     slim = windows.select(*cols)
     # pin parallelism for the model stage (see run_extraction_from_documents)
-    target = max(windows.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    target = _model_stage_tasks(windows)
     slim = slim.repartition(target)
     return slim.mapInPandas(gen, schema=EXTRACTION_SCHEMA)
+
+
+def _model_stage_tasks(df: DataFrame) -> int:
+    """Task count for the pinned model-stage repartition.
+
+    tasks-per-core default 4: enough waves that one straggling task (GC,
+    co-tenant steal burst, a long conversation) delays its own lane by a
+    fraction of the stage instead of idling every other lane through a
+    2-wave tail — measured on the 24k-conv calibrated scaling leg (r4).
+    Tunable via SPARK_GRAFT_MODEL_TASKS_PER_CORE for deployments whose
+    per-task model-batch economics differ (bigger batches amortize GPU
+    transfer better; smaller tasks smooth stragglers)."""
+    per_core = int(os.environ.get("SPARK_GRAFT_MODEL_TASKS_PER_CORE", "4"))
+    return max(df.sparkSession.sparkContext.defaultParallelism * per_core, 8)
 
 
 def run_extraction_from_documents(
@@ -534,9 +549,7 @@ def run_extraction_from_documents(
     # (a few MB of documents can carry hours of model time — observed:
     # byte-coalescing collapsed extraction to ONE task).
     docs = documents.select("conv_id", "text")
-    target = max(
-        documents.sparkSession.sparkContext.defaultParallelism * 2, 8
-    )
+    target = _model_stage_tasks(documents)
     # round-robin with explicit count: a hash repartition on conv_id is
     # collapsed by the optimizer into the upstream groupBy exchange, whose
     # read AQE then byte-coalesces; round-robin survives both
