@@ -413,6 +413,98 @@ def test_concat_or_terms(terms):
 
 
 # ---------------------------------------------------------------------------
+# highlights.py pure functions (module imports fuzzysearch, absent here;
+# the alias maps, distance schedule and sentence lookups are ast-extracted)
+# ---------------------------------------------------------------------------
+
+def _load_highlights_pure():
+    import ast
+    from collections import OrderedDict
+    from typing import Dict as TDict, Optional as TOpt, Tuple as TTup
+    from typing import Union as TUni
+
+    path = os.path.join(
+        REFERENCE_ROOT, "information_extraction_t5", "features",
+        "highlights.py",
+    )
+    with open(path, encoding="utf-8") as f:
+        tree = ast.parse(f.read())
+    wanted_fns = {
+        "include_variations", "get_levenshtein_dist",
+        "find_sentence_of_sent_id", "find_indexes_of_sentence",
+    }
+    nodes = [
+        n for n in tree.body
+        if (isinstance(n, ast.FunctionDef) and n.name in wanted_fns)
+        or (isinstance(n, ast.Assign)
+            and isinstance(n.targets[0], ast.Name)
+            and n.targets[0].id in ("estados", "area"))
+    ]
+    ns = {
+        "OrderedDict": OrderedDict, "Dict": TDict, "Optional": TOpt,
+        "Tuple": TTup, "Union": TUni, "T5_RAW_CONTEXT": str,
+        "split_context_into_sentences": ref.split_context_into_sentences,
+        "check_sent_id_is_valid": ref.check_sent_id_is_valid,
+    }
+    exec(compile(ast.Module(body=nodes, type_ignores=[]),  # noqa: S102
+                 path, "exec"), ns)
+    return ns
+
+
+HIGHLIGHTS = _load_highlights_pure()
+
+
+def test_alias_maps_identical():
+    assert fuzzy.STATE_NAMES == HIGHLIGHTS["estados"]
+    assert fuzzy.AREA_UNITS == HIGHLIGHTS["area"]
+
+
+@SETTINGS
+@given(st.one_of(
+    st.sampled_from(sorted(fuzzy.STATE_NAMES) + sorted(fuzzy.AREA_UNITS)),
+    st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ_a", min_size=0, max_size=6),
+))
+def test_include_variations(query):
+    assert fuzzy.alias_variations(query) == \
+        HIGHLIGHTS["include_variations"](query)
+
+
+@SETTINGS
+@given(st.text(alphabet=_FRAG_ALPHABET, min_size=0, max_size=40))
+def test_levenshtein_dist_schedule(query):
+    assert fuzzy.max_dist_for(query) == \
+        HIGHLIGHTS["get_levenshtein_dist"](query)
+
+
+@SETTINGS
+@given(context_text, st.integers(min_value=0, max_value=8))
+def test_sentence_of_sent_id(context, sid):
+    ref_out = outcome(HIGHLIGHTS["find_sentence_of_sent_id"], context, sid)
+    mine = outcome(lambda c, i: parsing.split_sentences(c)[i - 1],
+                   context, sid)
+    # reference raises IndexError past the end; sid-1 == -1 wraps to the
+    # LAST sentence in both (the reference's sid=0 quirk, preserved)
+    assert ref_out == mine
+
+
+@SETTINGS
+@given(context_text, st.integers(min_value=1, max_value=8))
+def test_indexes_of_sentence(context, sid):
+    ok_r, val_r = outcome(
+        HIGHLIGHTS["find_indexes_of_sentence"], context, sid
+    )
+    if not ok_r:
+        return  # out-of-range: covered above
+    start, end = val_r
+    # the reference locates the sentence by find() (first occurrence);
+    # the invariant that matters downstream: the span slices a sentence
+    # equal to the sid's sentence text
+    sent = HIGHLIGHTS["find_sentence_of_sent_id"](context, sid)
+    assert context[start:start + len(sent)] == sent
+    assert end == context.find("\n", start)
+
+
+# ---------------------------------------------------------------------------
 # postprocess.py: group_qas and the compound explode
 # ---------------------------------------------------------------------------
 
