@@ -144,6 +144,39 @@ def test_type_maps_identical():
     assert registry.COMPLEMENT_TYPE == ref_type_map.COMPLEMENT_TYPE
 
 
+def test_registry_matches_reference_configured_universe():
+    """DEFAULT_PREDICATES == the reference's EFFECTIVE extraction schema:
+    get_all_qa_ids over the type_names its own params.yaml enables
+    (params.yaml:32-48; form.doc_id_uf is dormant there — it has no
+    TYPENAME_TO_TYPE entry and would KeyError the answer builder), with
+    per-qa_id question lists and the compound subfield signature order
+    (questions.py:23-94)."""
+    params_type_names = [
+        "form.etiqueta", "form.agencia", "form.conta_corrente", "form.cpf",
+        "form.nome_completo", "form.n_doc_serie", "form.orgao_emissor",
+        "form.data_emissao", "form.data_nascimento", "form.nome_mae",
+        "form.nome_pai", "form.endereco",
+    ]
+    ref_ids = ref_preprocess.get_all_qa_ids(
+        "form", params_type_names,
+        list_of_use_compound_question=["form.endereco"],
+    )
+    assert ref_ids == registry.all_qa_ids()
+
+    by_id = {p.qa_id: p for p in registry.DEFAULT_PREDICATES}
+    for qa_id in ref_ids:
+        field = qa_id.split(".", 1)[1]
+        entry = ref_preprocess.ALL_QUESTIONS["form"][field]
+        mine = by_id[qa_id]
+        if isinstance(entry, dict):  # compound: signature order matters
+            assert mine.is_compound
+            assert mine.questions == entry["compound"]
+            assert mine.subfields == [k for k in entry if k != "compound"]
+        else:
+            assert not mine.is_compound
+            assert mine.questions == entry
+
+
 # ---------------------------------------------------------------------------
 # sentences.py kernels
 # ---------------------------------------------------------------------------
