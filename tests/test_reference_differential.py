@@ -446,6 +446,107 @@ def test_concat_or_terms(terms):
 
 
 # ---------------------------------------------------------------------------
+# basic_to_squad.py answer builders (module imports transformers, absent
+# here; the three QA-construction functions are ast-extracted)
+# ---------------------------------------------------------------------------
+
+def _load_basic_to_squad():
+    import ast
+    import numpy.random as nr
+    from typing import Dict as TDict, List as TList, Optional as TOpt
+
+    path = os.path.join(
+        REFERENCE_ROOT, "information_extraction_t5", "data",
+        "basic_to_squad.py",
+    )
+    with open(path, encoding="utf-8") as f:
+        tree = ast.parse(f.read())
+    wanted = {
+        "get_question_answers", "get_compound_question_answers",
+        "get_notapplicable_question_answers",
+    }
+    defs = [n for n in tree.body
+            if isinstance(n, ast.FunctionDef) and n.name in wanted]
+    ns = {
+        "Dict": TDict, "List": TList, "Optional": TOpt, "nr": nr,
+        "TYPENAME_TO_TYPE": ref_type_map.TYPENAME_TO_TYPE,
+        "get_questions_for_chunk": ref_preprocess.get_questions_for_chunk,
+        "WARNING_MISSING_TYPENAMES": [],
+    }
+    exec(compile(ast.Module(body=defs, type_ignores=[]),  # noqa: S102
+                 path, "exec"), ns)
+    return ns
+
+
+B2S = _load_basic_to_squad()
+
+
+def test_na_answers_match_reference_builder():
+    """registry.na_answer == the reference's forced-N/A answer text for
+    every predicate (compound: one '[Type]: N/A' per subfield in
+    signature order; basic_to_squad.py:133-193)."""
+    for p in registry.DEFAULT_PREDICATES:
+        qas = B2S["get_notapplicable_question_answers"](
+            qa_id=p.qa_id, choose_question="first",
+            list_of_use_compound_question=(
+                [p.qa_id] if p.is_compound else []
+            ),
+        )
+        assert len(qas) == 1
+        assert qas[0]["answers"][0]["text"] == registry.na_answer(p)
+        assert qas[0]["question"] == p.questions[0]
+        assert qas[0]["id"] == p.qa_id
+
+
+@SETTINGS
+@given(
+    st.sampled_from([p for p in registry.DEFAULT_PREDICATES
+                     if not p.is_compound]),
+    nonempty_fragment,
+    st.sampled_from(["first", "all"]),
+)
+def test_simple_answer_text_matches_reference(pred, value, choose):
+    doc = {pred.field: value}
+    qas = B2S["get_question_answers"](
+        doc, questions=list(pred.questions), qa_id=pred.qa_id,
+        choose_question=choose,
+    )
+    expected_n = 1 if choose == "first" else len(pred.questions)
+    assert len(qas) == expected_n
+    display = registry.TYPENAME_TO_TYPE[pred.field]
+    for qa in qas:
+        assert qa["answers"][0]["text"] == f"[{display}]: {value}"
+        assert qa["answers"][0]["answer_start"] == -1
+    assert qas[0]["question"] == pred.questions[0]
+
+
+@SETTINGS
+@given(st.dictionaries(
+    st.sampled_from(["logradouro", "numero", "complemento", "bairro",
+                     "cidade", "estado", "cep"]),
+    nonempty_fragment,
+    min_size=0, max_size=7,
+))
+def test_compound_answer_assembly_matches_reference(filled):
+    """The reference assembles a compound answer by filling the signature
+    with '[Type]: N/A' then overwriting present subfields, joined in
+    SIGNATURE order regardless of dict order (basic_to_squad.py:65-130)
+    — exactly the geometry the local signature + type map reproduce."""
+    endereco = next(p for p in registry.DEFAULT_PREDICATES
+                    if p.qa_id == "form.endereco")
+    doc = {"endereco": dict(filled)}
+    qas = B2S["get_compound_question_answers"](
+        doc, questions=list(endereco.questions), qa_id="form.endereco",
+        choose_question="first",
+    )
+    expected = " ".join(
+        f"[{registry.TYPENAME_TO_TYPE[sf]}]: {filled.get(sf, 'N/A')}"
+        for sf in endereco.subfields
+    )
+    assert qas[0]["answers"][0]["text"] == expected
+
+
+# ---------------------------------------------------------------------------
 # highlights.py pure functions (module imports fuzzysearch, absent here;
 # the alias maps, distance schedule and sentence lookups are ast-extracted)
 # ---------------------------------------------------------------------------
