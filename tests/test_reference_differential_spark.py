@@ -101,6 +101,38 @@ def test_top1_window_matches_reference(spark, use_fewer_na):
     assert got == expected
 
 
+@pytest.mark.parametrize("fixture", ["sample_train.json", "sample_test.json"])
+def test_raw_scan_matches_reference_loader(spark, fixture):
+    """sources/raw_json vs the reference's own load_raw_data
+    (data/file_handling.py:31-51) on the reference's shipped fixtures:
+    same ids, texts, scalar fields, and endereco subfields."""
+    from information_extraction_t5.data.file_handling import load_raw_data
+
+    from information_extraction_t5_spark.sources.raw_json import (
+        ADDRESS_SUBFIELDS,
+        read_raw_documents,
+    )
+
+    path = os.path.join(REFERENCE_ROOT, "data", "raw", fixture)
+    if not os.path.exists(path):
+        pytest.skip(f"{fixture} not shipped")
+    raw, documents, fname = load_raw_data(path)
+    assert fname == path and list(raw.items()) == documents
+
+    rows = {r["doc_id"]: r
+            for r in read_raw_documents(spark, path).collect()}
+    assert set(rows) == {str(k) for k in raw}
+    for doc_id, doc in raw.items():
+        got = rows[str(doc_id)]
+        assert got["text"] == doc.get("text", doc.get("texto", ""))
+        for k, v in doc.items():
+            if isinstance(v, str) and k not in ("text", "texto"):
+                assert got["fields"][k] == v
+        addr = doc.get("endereco") or {}
+        for sf in ADDRESS_SUBFIELDS:
+            assert got["endereco"][sf] == addr.get(sf)
+
+
 def test_count_pos_neg_matches_reference(spark):
     r = random.Random(23)
     labels, docs, exs = [], [], []
