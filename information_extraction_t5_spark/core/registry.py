@@ -138,6 +138,32 @@ def registry_rows(predicates: Optional[List[Predicate]] = None) -> List[dict]:
     ]
 
 
+def count_keys_values(obj) -> "tuple[int, int]":
+    """(keys, values) of a nested dict/list config — driver-side registry
+    introspection (reference: utils/processing.py:63-86 ``count_k_v``;
+    parity pinned by the differential fuzz harness).  A dict key counts as
+    a key; a leaf (non-container) counts as a value; containers recurse."""
+    keys, values = 0, 0
+    if isinstance(obj, dict):
+        for item in obj:
+            keys += 1
+            if isinstance(obj[item], (list, tuple, dict)):
+                k, v = count_keys_values(obj[item])
+                keys += k
+                values += v
+            else:
+                values += 1
+    elif isinstance(obj, (list, tuple)):
+        for item in obj:
+            if isinstance(item, (list, tuple, dict)):
+                k, v = count_keys_values(item)
+                keys += k
+                values += v
+            else:
+                values += 1
+    return keys, values
+
+
 def na_answer(predicate: Predicate) -> str:
     """The forced not-applicable answer string for a predicate
     (reference: basic_to_squad.py:162-177)."""

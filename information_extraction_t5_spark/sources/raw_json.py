@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,8 +41,33 @@ DOCUMENTS_SCHEMA = (
 _EPOCH = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
 
 
+def extract_raw_archive(path: str, out_dir: Optional[str] = None) -> str:
+    """Unpack a ``.tar``/``.tar.gz`` dataset archive and return the newest
+    contained JSON file (reference: data/file_handling.py:8-28 —
+    ``decompress``; the reference globs ``data/raw/*json`` and takes the
+    last, this takes the lexicographically-last extracted ``*.json`` so
+    behavior is deterministic and directory-independent)."""
+    import glob
+    import tarfile
+    import tempfile
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="raw_untar_")
+    mode = "r:gz" if path.endswith("tar.gz") else "r:"
+    with tarfile.open(path, mode) as tar:
+        tar.extractall(out_dir, filter="data")
+    found = sorted(glob.glob(os.path.join(out_dir, "**", "*json"),
+                             recursive=True))
+    if not found:
+        raise FileNotFoundError(f"no JSON file inside archive {path}")
+    return found[-1]
+
+
 def read_raw_documents(spark: SparkSession, path: str) -> DataFrame:
-    """Parse a reference raw-JSON dataset into the documents table."""
+    """Parse a reference raw-JSON dataset into the documents table
+    (``.tar``/``.tar.gz`` archives are unpacked first, mirroring the
+    reference's load_raw_data entry; file_handling.py:40-44)."""
+    if path.endswith(("tar", "tar.gz")):
+        path = extract_raw_archive(path)
     with open(path) as f:
         raw = json.load(f)
 

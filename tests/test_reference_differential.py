@@ -432,6 +432,25 @@ def test_expand_composite_chars(text):
     )
 
 
+_nested_config = st.recursive(
+    st.one_of(st.integers(0, 9), st.text(max_size=4), st.booleans()),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=4), children,
+                        max_size=4),
+        st.tuples(children, children),
+    ),
+    max_leaves=20,
+)
+
+
+@SETTINGS
+@given(_nested_config)
+def test_count_k_v(config):
+    assert registry.count_keys_values(config) == \
+        ref_processing.count_k_v(config)
+
+
 @SETTINGS
 @given(st.lists(
     st.text(alphabet="abcdefghijklmnopqrstuvwxyz0-9", min_size=1, max_size=8),

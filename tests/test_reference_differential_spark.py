@@ -133,6 +133,29 @@ def test_raw_scan_matches_reference_loader(spark, fixture):
             assert got["endereco"][sf] == addr.get(sf)
 
 
+@pytest.mark.parametrize("suffix,mode", [("tar", "w"), ("tar.gz", "w:gz")])
+def test_tar_archive_scan(spark, tmp_path, suffix, mode):
+    """.tar/.tar.gz dataset ingest mirrors the reference's decompress
+    entry (file_handling.py:8-28): archive the reference fixture, read it
+    back through read_raw_documents, equal to the direct-JSON read."""
+    import tarfile
+
+    from information_extraction_t5_spark.sources.raw_json import (
+        read_raw_documents,
+    )
+
+    src = os.path.join(REFERENCE_ROOT, "data", "raw", "sample_train.json")
+    if not os.path.exists(src):
+        pytest.skip("fixture not shipped")
+    archive = str(tmp_path / f"ds.{suffix}")
+    with tarfile.open(archive, mode) as tar:
+        tar.add(src, arcname="sample_train.json")
+
+    direct = read_raw_documents(spark, src).orderBy("doc_id").collect()
+    from_tar = read_raw_documents(spark, archive).orderBy("doc_id").collect()
+    assert from_tar == direct and len(direct) > 0
+
+
 def test_count_pos_neg_matches_reference(spark):
     r = random.Random(23)
     labels, docs, exs = [], [], []
