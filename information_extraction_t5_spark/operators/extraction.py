@@ -378,24 +378,35 @@ class Seq2SeqExtractor:
         the expansion happens where the GPU batch is formed, not in a
         Spark-side join.  ``choose`` selects question paraphrases per
         (document, predicate): 'first', seeded 'random', or 'all'."""
-        expanded = {"conv_id": [], "window_id": [], "window_offset": [],
-                    "qa_id": [], "question": [], "window_text": []}
-        for cid, wid, woff, text in zip(
-            pdf["conv_id"], pdf["window_id"], pdf["window_offset"],
-            pdf["window_text"],
-        ):
-            for qa_id, _field, questions, _sub in registry_spec:
-                for vi in _variant_indices(cid, qa_id, questions,
-                                           choose, seed):
-                    expanded["conv_id"].append(cid)
-                    expanded["window_id"].append(wid)
-                    expanded["window_offset"].append(woff)
-                    expanded["qa_id"].append(qa_id)
-                    expanded["question"].append(questions[vi])
-                    expanded["window_text"].append(text)
-        out = self.predict(pd.DataFrame(expanded))
+        expanded = expand_window_questions(pdf, registry_spec, choose, seed)
+        out = self.predict(expanded)
         return out[["conv_id", "window_id", "window_offset", "qa_id",
                     "prediction", "prob"]]
+
+
+def expand_window_questions(pdf: pd.DataFrame, registry_spec,
+                            choose: str = "first",
+                            seed: int = 13) -> pd.DataFrame:
+    """(window) x (predicate, chosen question variants) expansion — the
+    pure half of Seq2SeqExtractor.predict_windows, split out so the
+    model-batch formation is testable without torch (only the tensor
+    calls in ``predict`` remain environment-gated)."""
+    expanded = {"conv_id": [], "window_id": [], "window_offset": [],
+                "qa_id": [], "question": [], "window_text": []}
+    for cid, wid, woff, text in zip(
+        pdf["conv_id"], pdf["window_id"], pdf["window_offset"],
+        pdf["window_text"],
+    ):
+        for qa_id, _field, questions, _sub in registry_spec:
+            for vi in _variant_indices(cid, qa_id, questions,
+                                       choose, seed):
+                expanded["conv_id"].append(cid)
+                expanded["window_id"].append(wid)
+                expanded["window_offset"].append(woff)
+                expanded["qa_id"].append(qa_id)
+                expanded["question"].append(questions[vi])
+                expanded["window_text"].append(text)
+    return pd.DataFrame(expanded)
 
 
 def _variant_indices(conv_id, qa_id: str, questions, choose: str,

@@ -117,3 +117,38 @@ def test_pipeline_choose_all_same_triples(spark):
     b = sorted(map(tuple, alld.select(*cols).collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_seq2seq_batch_formation_matches_sql_expansion(spark):
+    """expand_window_questions — the pure half of the torch-gated
+    Seq2SeqExtractor.predict_windows (model-batch formation) — must pick
+    exactly the (qa_id, question) pairs the SQL-side expand_questions
+    emits, in every choose mode.  Shrinks the untested torch surface to
+    the tensor calls alone."""
+    from information_extraction_t5_spark.core.registry import (
+        DEFAULT_PREDICATES,
+    )
+    from information_extraction_t5_spark.operators.extraction import (
+        expand_window_questions,
+        registry_df,
+    )
+
+    w = _windows(spark)
+    spec = [(p.qa_id, p.field, tuple(p.questions), tuple(p.subfields))
+            for p in DEFAULT_PREDICATES]
+
+    for choose in ("first", "random", "all"):
+        batch = expand_window_questions(
+            w.toPandas(), spec, choose=choose, seed=13
+        )
+        sql = (
+            expand_questions(w.select("conv_id"), registry_df(spark),
+                             choose=choose, seed=13, doc_col="conv_id")
+            .toPandas()
+        )
+        got = sorted(zip(batch["conv_id"], batch["qa_id"],
+                         batch["question"]))
+        want = sorted(zip(sql["conv_id"], sql["qa_id"], sql["question"]))
+        assert got == want, f"mode {choose} diverges"
+        # every expanded row carries its window payload for the GPU batch
+        assert (batch["window_text"].str.len() > 0).all()
