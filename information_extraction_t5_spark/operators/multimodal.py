@@ -2,10 +2,17 @@
 
 Images/audio/video ride as opaque ``binary`` columns with a metadata struct;
 decode/feature-extraction run as Arrow-batched mapInPandas stages.  The
-Spark-side contract (schema, batch shape, partitioning) is real and tested;
-the actual codec calls are STUBBED (this container ships no image/audio
-libraries): ``decode_stub`` produces deterministic fake features, and
-``decode_real`` raises NotImplementedError until a codec is injected.
+Spark-side contract (schema, batch shape, partitioning) is real and tested.
+Decode has three tiers (r4):
+
+  - ``decode_stdlib`` — REAL decode for WAV (stdlib ``wave``), binary P6
+    PPM, and uncompressed 24bpp BMP (struct + numpy); no codec libraries
+    required.
+  - ``decode_real`` — injection point for full codecs (JPEG/PNG/MP4 via
+    PIL/soundfile/av); this container intentionally lacks them, so it
+    raises NotImplementedError.
+  - ``_fake_feature`` — the deterministic oracle-replayable stub the
+    driver correctness gate uses (sha256-of-hex so DuckDB can replay it).
 """
 from __future__ import annotations
 
@@ -83,15 +90,169 @@ def extract_features(
 
 
 def decode_real(payload: bytes, kind: str) -> list:
-    """Placeholder for a real codec path.
+    """Placeholder for a full codec path (JPEG/PNG/MP4/OGG...).
 
     Wire PIL.Image.open / soundfile.read / av frame sampling here; the
-    container intentionally lacks these libraries.
+    container intentionally lacks these libraries.  Formats the standard
+    library CAN parse are really decoded — see ``decode_stdlib``.
     """
     raise NotImplementedError(
         f"no codec for kind={kind!r} in this environment; "
         "inject a decoder into extract_features()"
     )
+
+
+def _wav_features(payload: bytes, dim: int) -> list:
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        channels = w.getnchannels()
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        nframes = w.getnframes()
+        raw = w.readframes(nframes)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                   - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"sample width {width} unsupported")
+    if samples.size == 0:
+        rms, zcr, peak = 0.0, 0.0, 0.0
+    else:
+        rms = float(np.sqrt(np.mean(samples ** 2)))
+        zcr = float(np.mean(np.signbit(samples[1:]) !=
+                            np.signbit(samples[:-1])))
+        peak = float(np.max(np.abs(samples)))
+    duration_s = nframes / rate if rate else 0.0
+    feats = [duration_s, rate / 48000.0, float(channels), rms, zcr, peak,
+             nframes / 1e6, float(width)]
+    return [round(f, 6) for f in (feats + [0.0] * dim)[:dim]]
+
+
+def _ppm_features(payload: bytes, dim: int) -> list:
+    import numpy as np
+
+    # P6 binary: b"P6\n<w> <h>\n<maxval>\n" then raw RGB triples
+    # (comment lines unsupported by design — synthetic corpora don't
+    # write them; a full parser belongs to an injected codec)
+    header, rest = payload.split(b"\n", 1)
+    if header.strip() != b"P6":
+        raise NotImplementedError("only binary P6 PPM")
+    dims, rest = rest.split(b"\n", 1)
+    maxval_raw, pixels = rest.split(b"\n", 1)
+    w, h = (int(x) for x in dims.split())
+    maxval = int(maxval_raw)
+    arr = np.frombuffer(pixels[: w * h * 3], dtype=np.uint8).reshape(-1, 3)
+    mean = arr.mean(axis=0) / max(maxval, 1)
+    feats = [float(w), float(h), w / max(h, 1), float(mean[0]),
+             float(mean[1]), float(mean[2]), maxval / 255.0, 0.0]
+    return [round(f, 6) for f in (feats + [0.0] * dim)[:dim]]
+
+
+def _bmp_features(payload: bytes, dim: int) -> list:
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24bpp BMP")
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = []
+    for y in range(abs(h)):
+        start = pix_off + y * row_bytes
+        rows.append(np.frombuffer(
+            payload[start:start + w * 3], dtype=np.uint8
+        ).reshape(-1, 3))
+    arr = np.vstack(rows)
+    mean = arr.mean(axis=0) / 255.0  # BGR order on disk
+    feats = [float(w), float(abs(h)), w / max(abs(h), 1), float(mean[2]),
+             float(mean[1]), float(mean[0]), 1.0, 0.0]
+    return [round(f, 6) for f in (feats + [0.0] * dim)[:dim]]
+
+
+def decode_stdlib(payload: bytes, kind: str, dim: int = 8) -> list:
+    """REAL decode for formats the standard library + numpy can parse —
+    no codec libraries needed: WAV/PCM audio (stdlib ``wave``), binary
+    P6 PPM and uncompressed 24bpp BMP images (struct + numpy).  Features:
+    audio -> [duration_s, rate/48k, channels, rms, zero-cross rate, peak,
+    Mframes, sample_width]; image -> [w, h, aspect, mean_r, mean_g,
+    mean_b, depth_scale, 0].  Anything else (JPEG/PNG/MP4...) raises
+    NotImplementedError and stays the documented injection point."""
+    p = payload or b""
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return _wav_features(p, dim)
+    if p[:2] == b"P6":
+        return _ppm_features(p, dim)
+    if p[:2] == b"BM":
+        return _bmp_features(p, dim)
+    return decode_real(p, kind)
+
+
+def synthetic_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
+    """Small media table whose payloads are REAL parseable files —
+    deterministic WAV sine tones, PPM gradients, BMP fills — plus one
+    undecodable payload per cycle to exercise the ok=False path."""
+    import io
+    import math as m
+    import struct
+    import wave
+
+    rows = []
+    for i in range(n):
+        variant = i % 4
+        if variant == 0:  # WAV: 16-bit mono sine, freq/length vary by i
+            rate = 8000
+            nframes = 400 + 40 * (i % 5)
+            freq = 220.0 * (1 + i % 3)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(b"".join(
+                    struct.pack(
+                        "<h",
+                        int(20000 * m.sin(2 * m.pi * freq * t / rate)),
+                    )
+                    for t in range(nframes)
+                ))
+            payload = buf.getvalue()
+            kind, meta = "audio", (None, None, nframes * 1000 // rate, "wav")
+        elif variant == 1:  # PPM: horizontal gradient
+            w_, h_ = 8 + i % 8, 6 + i % 4
+            pixels = bytes(
+                b for y in range(h_) for x in range(w_)
+                for b in (x * 255 // max(w_ - 1, 1), y * 255 // max(h_ - 1, 1),
+                          (i * 11) % 256)
+            )
+            payload = f"P6\n{w_} {h_}\n255\n".encode() + pixels
+            kind, meta = "image", (w_, h_, None, "ppm")
+        elif variant == 2:  # BMP: solid 24bpp fill, 4-byte row padding
+            w_, h_ = 5 + i % 6, 4 + i % 3
+            row = bytes((i % 256, (i * 3) % 256, (i * 7) % 256)) * w_
+            row += b"\x00" * ((4 - (w_ * 3) % 4) % 4)
+            pix = row * h_
+            header = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+                      + struct.pack("<IiiHHIIiiII", 40, w_, h_, 1, 24, 0,
+                                    len(pix), 2835, 2835, 0, 0))
+            payload = header + pix
+            kind, meta = "image", (w_, h_, None, "bmp")
+        else:  # undecodable: exercises NotImplementedError -> ok=False
+            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+            kind, meta = "video", (None, None, 2000 + i, "mp4")
+        rows.append((f"r_{i:05d}", kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def image_resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
