@@ -1,11 +1,14 @@
 """Blocking-job budget for the end-to-end pipeline.
 
-Serial Spark jobs (eager localCheckpoints, gate probes, collects,
-convergence checks) are the pipeline's fixed latency floor — each costs
-driver round-trips regardless of data size, and on this host wall-clock
-is too noisy to catch a few extra ones.  Job COUNT is noise-free: pin it
-so a change that quietly adds blocking actions (e.g. a per-round count,
-an accidental eager materialization) fails loudly.
+Spark jobs (eager localCheckpoints, gate probes, collects, convergence
+checks, plus AQE's per-exchange stage jobs) are the pipeline's fixed
+latency floor — each costs driver round-trips regardless of data size,
+and on this host wall-clock is too noisy to catch a few extra ones.  Job
+COUNT is noise-free: pin it so a change that quietly adds blocking
+actions or bloats the adaptive plan (a per-round count, an accidental
+eager materialization, an extra exchange) fails loudly.
+Phase profile at the r4 baseline: triples checkpoint 5, fuzzy edge build
+3, canonical_entities 15, final join+count 13.
 
 Measured r4 baseline at 60 convs, local[8]: 36 jobs with fuzzy linking,
 20 without.  Budgets leave small headroom; if you trip one, either your
