@@ -365,10 +365,10 @@ class Seq2SeqExtractor:
                 reduction="none",
             )
             losses = (losses * (labels != -100)).sum(dim=1)
-            probs = torch.exp(-losses / lens).tolist()
+            probs = probs_from_losses(losses.tolist(), lens.tolist())
         res = pdf.copy()
         res["prediction"] = preds
-        res["prob"] = [round(p, 6) for p in probs]
+        res["prob"] = probs
         return res
 
     def predict_windows(self, pdf: pd.DataFrame, registry_spec,
@@ -382,6 +382,18 @@ class Seq2SeqExtractor:
         out = self.predict(expanded)
         return out[["conv_id", "window_id", "window_offset", "qa_id",
                     "prediction", "prob"]]
+
+
+def probs_from_losses(total_losses, label_lens) -> List[float]:
+    """Answer probability from summed token losses: exp(-loss/len),
+    rounded like the cached reference outputs (reference:
+    qa_model.py:327-342 computes exactly this per predicted row).  Pure
+    (list in, list out) so the scoring semantics are testable without
+    torch; the tensor path feeds it ``.tolist()`` values."""
+    return [
+        round(math.exp(-loss / max(n, 1)), 6)
+        for loss, n in zip(total_losses, label_lens)
+    ]
 
 
 def expand_window_questions(pdf: pd.DataFrame, registry_spec,

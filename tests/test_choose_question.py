@@ -152,3 +152,25 @@ def test_seq2seq_batch_formation_matches_sql_expansion(spark):
         assert got == want, f"mode {choose} diverges"
         # every expanded row carries its window payload for the GPU batch
         assert (batch["window_text"].str.len() > 0).all()
+
+
+def test_probs_from_losses_formula():
+    """The Seq2Seq scoring semantics — exp(-loss/len) per row, the
+    reference's _compute_probs (qa_model.py:327-342) — as shared pure
+    code, so only the tensor plumbing remains torch-gated."""
+    import math
+
+    from information_extraction_t5_spark.operators.extraction import (
+        probs_from_losses,
+    )
+
+    losses = [0.0, 1.0, 4.0, 10.0]
+    lens = [1, 2, 4, 0]  # len 0 clamps to 1 (empty decode)
+    got = probs_from_losses(losses, lens)
+    assert got == [
+        1.0,
+        round(math.exp(-0.5), 6),
+        round(math.exp(-1.0), 6),
+        round(math.exp(-10.0), 6),
+    ]
+    assert all(0.0 <= p <= 1.0 for p in got)
