@@ -1342,23 +1342,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["question_choose_random"] = question_choose_random
 
-    # ---- driver-gate rotation (VERDICT r2 item 1; r3 item 2) ----
+    def squad_conversion(spark, sf):
+        # full-stage R1->R2 conversion (documents -> normalize -> char
+        # windows -> QA expansion -> forced-N/A block; reference
+        # basic_to_squad.get_document_data, differentially fuzzed in
+        # tests/test_reference_differential_e2e.py).  fields/endereco are
+        # derived deterministically from conv_id so the DuckDB oracle
+        # replays the identical documents table; choose='all' exercises
+        # multi-paraphrase expansion, the always-null subfields exercise
+        # per-subfield N/A fill, and the 9 unconfigured qa_ids exercise
+        # the forced-N/A anti-join.
+        from information_extraction_t5_spark.core.windows import WindowSpec
+        from information_extraction_t5_spark.data import synth
+        from information_extraction_t5_spark.operators.windows import (
+            assemble_documents,
+        )
+        from information_extraction_t5_spark.sources.convert import (
+            LARGEST_QUESTION,
+            documents_to_qa_windows,
+        )
+        docs = assemble_documents(synth.transcripts_df(spark, 40)).select(
+            F.col("conv_id").alias("doc_id"), "text",
+            F.create_map(
+                F.lit("nome_completo"),
+                F.concat(F.lit("Nome "), F.col("conv_id")),
+                F.lit("cpf"),
+                F.concat(F.lit("000.000.000-"),
+                         F.substring("conv_id", -2, 2)),
+            ).alias("fields"),
+            F.struct(
+                F.lit(None).cast("string").alias("logradouro"),
+                F.lit(None).cast("string").alias("numero"),
+                F.lit(None).cast("string").alias("complemento"),
+                F.lit(None).cast("string").alias("bairro"),
+                F.concat(F.lit("Cidade "),
+                         F.substring("conv_id", -3, 3)).alias("cidade"),
+                F.when(F.ascii(F.substring("conv_id", -1, 1)) % 2 == 0,
+                       F.lit("SP")).cast("string").alias("estado"),
+                F.lit(None).cast("string").alias("cep"),
+            ).alias("endereco"),
+        )
+        out = documents_to_qa_windows(
+            docs,
+            spec=WindowSpec(max_size=200, window_overlap=0.2,
+                            max_windows=2, question=LARGEST_QUESTION,
+                            use_sentence_id=False),
+            mode="windows",
+            type_names=["form.nome_completo", "form.cpf", "form.endereco"],
+            choose="all",
+            project="form",
+        )
+        return out.select(
+            "doc_id",
+            F.col("window_id").cast("bigint").alias("window_id"),
+            F.col("window_offset").cast("bigint").alias("window_offset"),
+            "window_text",
+            F.col("qa_idx").cast("bigint").alias("qa_idx"),
+            "qa_id", "question", "answer_text",
+            F.col("answer_start").cast("bigint").alias("answer_start"),
+        )
+    q["squad_conversion"] = squad_conversion
+
+    # ---- driver-gate rotation (VERDICT r2 item 1; r3 item 2; r4 item 2) ----
     # The driver's correctness file caps at the FIRST 50 entries, so the
     # window rotates every round: the entries that sat OUTSIDE the
     # previous round's recorded window lead the next one, keeping every
-    # query driver-green within any 2 consecutive rounds.  r4 front = the
-    # 27 queries not in CORRECTNESS_r03.json (they were green in r1/r2);
-    # the 50 r3-green entries follow in historical order.
+    # query driver-green within any 2 consecutive rounds.  r5 front = the
+    # 27 queries not in CORRECTNESS_r04.json (they were green in r3);
+    # the 50 r4-green entries follow in historical order.
     front = [
-        "stopword_intersection", "alias_language_names", "token_stats",
-        "language_guess", "language_guess_ngram", "fingerprint_dup_groups",
-        "exact_dedup_survivors", "minhash_signatures", "embedding_topk",
-        "knn_join_small", "embedding_label_centroid_sim", "events_hourly",
-        "event_type_rollup", "report_sort_concat", "pivot_status_counts",
-        "subanswer_explode", "position_window", "f1_rollup_approx",
-        "quality_scores", "simhash_md5_fingerprints", "cosine_dup_pairs",
-        "txt_report_lines", "mispredictions", "group_key_explode",
-        "fuzzy_name_pairs", "user_sessions", "last_login_asof",
+        "kg_triples", "kg_exact_windows", "kg_token_windows",
+        "kg_eval_rollup", "kg_asof_join", "kg_range_join",
+        "salted_join_equivalence", "events_5min_rolling",
+        "time_rollup_multigrain", "ann_ivf_topk", "knn_join_ivf",
+        "knn_join_ivf_recall", "ann_lsh_topk", "ann_lsh_recall",
+        "kmeans_cells", "dedup_simhash_pairs", "dedup_jaccard_pairs",
+        "dedup_cluster_survivors", "media_features", "value_quantiles",
+        "curation_sample", "sample_docs_weighted",
+        "sample_orders_per_customer", "winnow_fingerprints",
+        "eval_rollup_grouped", "question_expand_all",
+        "question_choose_random",
+        # net-new r5 operator gates lead alongside the rotated block
+        "squad_conversion",
     ]
     assert set(front) <= set(q), sorted(set(front) - set(q))
     rotated = {name: q[name] for name in front}
@@ -1369,6 +1434,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect) — keys must match queries()
 # ---------------------------------------------------------------------------
+
+
+def _squad_conversion_sql() -> str:
+    """DuckDB replay of the squad_conversion query: the char-window CTE
+    chain over the committed fixture joined against the SAME qa plan the
+    operator broadcasts (qa_spec_rows inlined as VALUES — ordering,
+    questions and N/A literals stay in lockstep by construction), with
+    fields/endereco derived from conv_id identically to the Spark side."""
+    from information_extraction_t5_spark.core.registry import (
+        DEFAULT_PREDICATES,
+        TYPENAME_TO_TYPE,
+    )
+    from information_extraction_t5_spark.oracle_sql import char_windows_sql
+    from information_extraction_t5_spark.sources.convert import (
+        LARGEST_QUESTION,
+        qa_spec_rows,
+    )
+
+    win = char_windows_sql(
+        max_size=200, window_overlap=0.2, max_windows=2,
+        question=LARGEST_QUESTION, use_sentence_id=False,
+    )
+
+    def lit(s):
+        return ("cast(null as varchar)" if s is None
+                else "'" + s.replace("'", "''") + "'")
+
+    spec = qa_spec_rows(
+        type_names=["form.nome_completo", "form.cpf", "form.endereco"],
+        choose="all", project="form",
+    )
+    vals = ",\n            ".join(
+        f"({r[0]}, {lit(r[1])}, {lit(r[2])}, {lit(r[3])}, "
+        f"{str(r[5]).lower()}, {lit(r[6])}, {lit(r[7])})"
+        for r in spec
+    )
+    endereco = next(p for p in DEFAULT_PREDICATES if p.is_compound)
+    pieces = []
+    for sf in endereco.subfields:
+        tag = f"[{TYPENAME_TO_TYPE[sf]}]: "
+        if sf == "cidade":
+            pieces.append(f"{lit(tag)} || f.v_cidade")
+        elif sf == "estado":
+            pieces.append(f"{lit(tag)} || coalesce(f.v_estado, 'N/A')")
+        else:
+            pieces.append(lit(tag + "N/A"))
+    compound = " || ' ' || ".join(pieces)
+    return f"""
+        with win as ({win}),
+        fv as (
+          select conv_id,
+                 'Nome ' || conv_id as v_nome,
+                 '000.000.000-' || substr(conv_id, -2, 2) as v_cpf,
+                 'Cidade ' || substr(conv_id, -3, 3) as v_cidade,
+                 case when ascii(substr(conv_id, -1, 1)) % 2 = 0
+                      then 'SP' end as v_estado
+          from (select distinct conv_id from win)),
+        spec(qa_idx, qa_id, field, display_type, is_na, na_answer,
+             question) as (
+          values {vals})
+        select w.conv_id as doc_id,
+               cast(w.window_id as bigint) as window_id,
+               cast(w.window_offset as bigint) as window_offset,
+               w.window_text,
+               cast(s.qa_idx as bigint) as qa_idx,
+               s.qa_id, s.question,
+               case when s.is_na then s.na_answer
+                    when s.qa_id = 'form.endereco' then {compound}
+                    else '[' || s.display_type || ']: ' ||
+                         case s.field when 'nome_completo' then f.v_nome
+                                      when 'cpf' then f.v_cpf end
+               end as answer_text,
+               cast(-1 as bigint) as answer_start
+        from win w
+        join fv f using (conv_id)
+        cross join spec s
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2032,6 +2174,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_token_windows"] = token_windows_sql()
     o["kg_triples"] = kg_triples_sql()
     o["kg_eval_rollup"] = kg_eval_rollup_sql()
+    o["squad_conversion"] = _squad_conversion_sql()
 
     o["kg_asof_join"] = """
         with u as (

@@ -121,20 +121,22 @@ def run_kg_pipeline(spark, n_convs: int, cpus: int,
     # bench measures throughput, not oracle replayability: use the
     # documented ultra-scale hash path (md5 stays the default so the
     # driver's DuckDB gate can replay the fuzzy stage bit-for-bit)
-    cfg = PipelineConfig(model_cost_ms=model_cost_ms, fuzzy_hash="xxhash64")
     # task granularity follows stage cost (the rule a cluster job applies):
     # model-shaped stages get x4 tasks/core so stragglers don't idle lanes
     # through a 2-wave tail; the cost-0 transparency run gets x2 because a
     # pure-expression stage is scheduling-bound and extra tasks only add
-    # overhead (measured: 13.45s vs 14.4-15.0s at 12k convs, local[32])
-    os.environ["SPARK_GRAFT_MODEL_TASKS_PER_CORE"] = (
-        "2" if model_cost_ms == 0 else "4"
-    )
+    # overhead (measured: 13.45s vs 14.4-15.0s at 12k convs, local[32]).
+    # Threaded through PipelineConfig, NOT os.environ (ADVICE r4: the env
+    # mutation clobbered user overrides and leaked process-global state).
+    cfg = PipelineConfig(model_cost_ms=model_cost_ms, fuzzy_hash="xxhash64",
+                         model_tasks_per_core=2 if model_cost_ms == 0 else 4)
     if warmup:
         warm = synth.transcripts_df(spark, 100, partitions=2 * cpus)
         # same fuzzy-hash path as the timed runs so its codegen is warm
         run_pipeline(spark, warm,
-                     PipelineConfig(fuzzy_hash="xxhash64")).count()
+                     PipelineConfig(fuzzy_hash="xxhash64",
+                                    model_tasks_per_core=cfg
+                                    .model_tasks_per_core)).count()
 
     transcripts = synth.transcripts_df(
         spark, n_convs, partitions=partitions or max(4 * cpus, 16)

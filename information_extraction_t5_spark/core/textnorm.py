@@ -87,6 +87,16 @@ def t5_label(
     Reference: preprocess.py:273-321. ``answer_start`` is a char offset
     (-1 = not present in window), a list of offsets for compound answers,
     or None (non-annotated: left untouched).
+
+    CONSTRAINT (shared with the reference, ADVICE r4): the compound path
+    builds the output with ``str.format`` placeholders, so a literal '{'
+    or '}' inside an extracted answer raises (or corrupts the label) —
+    byte-for-byte parity with preprocess.py:286-310, which has the same
+    fragility.  Callers feeding answers from an ingestion path that cannot
+    guarantee brace-free text must escape braces ('{{'/'}}') in the answer
+    BEFORE calling; the repo's own ingestion (registry answers built from
+    form fields) never emits braces, and the differential fuzz alphabet
+    deliberately excludes them to stay on the reference's defined domain.
     """
     if not use_sentence_id:
         return answer

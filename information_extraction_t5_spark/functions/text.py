@@ -28,7 +28,10 @@ def clean_document_text(col: Column) -> Column:
     c = F.regexp_replace(c, "´", "'")
     c = F.regexp_replace(c, "™", "TM")
     c = F.regexp_replace(c, "…", "...")
-    return F.trim(c)
+    # Python str.strip() removes ALL whitespace; F.trim only spaces — a
+    # trailing '\n' survives trim and shifts every window boundary (caught
+    # by the r5 full-stage differential)
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
 def brackets_to_parens(col: Column) -> Column:

@@ -476,6 +476,7 @@ def run_extraction(
     model_cost_ms: float = 0.0,
     choose_question: str = "first",
     question_seed: int = 13,
+    tasks_per_core: Optional[int] = None,
 ) -> DataFrame:
     """mapInPandas batched extraction over *window* rows.
 
@@ -506,22 +507,26 @@ def run_extraction(
     cols = ["conv_id", "window_id", "window_offset", "window_text"]
     slim = windows.select(*cols)
     # pin parallelism for the model stage (see run_extraction_from_documents)
-    target = _model_stage_tasks(windows)
+    target = _model_stage_tasks(windows, tasks_per_core)
     slim = slim.repartition(target)
     return slim.mapInPandas(gen, schema=EXTRACTION_SCHEMA)
 
 
-def _model_stage_tasks(df: DataFrame) -> int:
+def _model_stage_tasks(df: DataFrame,
+                       tasks_per_core: Optional[int] = None) -> int:
     """Task count for the pinned model-stage repartition.
 
     tasks-per-core default 4: enough waves that one straggling task (GC,
     co-tenant steal burst, a long conversation) delays its own lane by a
     fraction of the stage instead of idling every other lane through a
     2-wave tail — measured on the 24k-conv calibrated scaling leg (r4).
-    Tunable via SPARK_GRAFT_MODEL_TASKS_PER_CORE for deployments whose
-    per-task model-batch economics differ (bigger batches amortize GPU
-    transfer better; smaller tasks smooth stragglers)."""
-    per_core = int(os.environ.get("SPARK_GRAFT_MODEL_TASKS_PER_CORE", "4"))
+    Precedence: explicit ``tasks_per_core`` argument (threaded from
+    PipelineConfig.model_tasks_per_core) > SPARK_GRAFT_MODEL_TASKS_PER_CORE
+    env override > default 4.  Callers should prefer the config field —
+    mutating the env leaks process-global state (ADVICE r4)."""
+    per_core = (tasks_per_core if tasks_per_core is not None
+                else int(os.environ.get("SPARK_GRAFT_MODEL_TASKS_PER_CORE",
+                                        "4")))
     return max(df.sparkSession.sparkContext.defaultParallelism * per_core, 8)
 
 
@@ -534,6 +539,7 @@ def run_extraction_from_documents(
     model_cost_ms: float = 0.0,
     choose_question: str = "first",
     question_seed: int = 13,
+    tasks_per_core: Optional[int] = None,
 ) -> DataFrame:
     """Fused window-assembly + extraction: one Arrow crossing per document.
 
@@ -572,7 +578,7 @@ def run_extraction_from_documents(
     # (a few MB of documents can carry hours of model time — observed:
     # byte-coalescing collapsed extraction to ONE task).
     docs = documents.select("conv_id", "text")
-    target = _model_stage_tasks(documents)
+    target = _model_stage_tasks(documents, tasks_per_core)
     # round-robin with explicit count: a hash repartition on conv_id is
     # collapsed by the optimizer into the upstream groupBy exchange, whose
     # read AQE then byte-coalesces; round-robin survives both

@@ -48,7 +48,7 @@ def docs_ctes(fixture: str = FIXTURE_TRANSCRIPTS) -> str:
           from '{fixture}' group by conv_id),
         docs as (
           select conv_id,
-                 trim(
+                 regexp_replace(
                    replace(replace(replace(
                      regexp_replace(
                        regexp_replace(
@@ -58,7 +58,8 @@ def docs_ctes(fixture: str = FIXTURE_TRANSCRIPTS) -> str:
                          '\\s*\\n+\\s*', chr(10), 'g'),
                        '  +', ' ', 'g'),
                      '´', chr(39)), '™', 'TM'),
-                     '…', '...')
+                     '…', '...'),
+                   '^\\s+|\\s+$', '', 'g'
                  ) as text
           from raw),
         d0 as materialized (select conv_id, text, length(text) as tlen from docs)"""

@@ -61,6 +61,11 @@ class PipelineConfig:
     extractor: str = "regex"
     model_name: Optional[str] = None
     model_cost_ms: float = 0.0   # emulated per-window model latency (bench)
+    model_tasks_per_core: Optional[int] = None
+    # model-stage repartition width per core (extraction._model_stage_tasks);
+    # None = env override SPARK_GRAFT_MODEL_TASKS_PER_CORE, else default 4.
+    # Preferred over the env var: config travels with the job, the env var
+    # leaks process-global state (ADVICE r4).
     choose_question: str = "first"   # 'first' | 'random' | 'all' paraphrase
     question_seed: int = 13          # seed for the 'random' md5 draw
     link_predicates: List[str] = field(
@@ -103,6 +108,7 @@ def extract_candidates(spark: SparkSession, transcripts: DataFrame,
         model_cost_ms=cfg.model_cost_ms,
         choose_question=cfg.choose_question,
         question_seed=cfg.question_seed,
+        tasks_per_core=cfg.model_tasks_per_core,
     )
 
 
@@ -244,6 +250,7 @@ def run_pipeline(
                 model_cost_ms=cfg.model_cost_ms,
                 choose_question=cfg.choose_question,
                 question_seed=cfg.question_seed,
+                tasks_per_core=cfg.model_tasks_per_core,
             ).localCheckpoint()
         else:
             # single-consumer lineage: the triples checkpoint below
@@ -265,7 +272,8 @@ def run_pipeline(
                                    model_name=cfg.model_name,
                                    model_cost_ms=cfg.model_cost_ms,
                                    choose_question=cfg.choose_question,
-                                   question_seed=cfg.question_seed),
+                                   question_seed=cfg.question_seed,
+                                   tasks_per_core=cfg.model_tasks_per_core),
         )
     else:
         scored = catalog.stage(

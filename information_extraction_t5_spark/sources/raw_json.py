@@ -65,8 +65,14 @@ def extract_raw_archive(path: str, out_dir: Optional[str] = None) -> str:
 def read_raw_documents(spark: SparkSession, path: str) -> DataFrame:
     """Parse a reference raw-JSON dataset into the documents table
     (``.tar``/``.tar.gz`` archives are unpacked first, mirroring the
-    reference's load_raw_data entry; file_handling.py:40-44)."""
-    if path.endswith(("tar", "tar.gz")):
+    reference's load_raw_data entry; file_handling.py:40-44).
+
+    Archive detection requires a real ``.tar``/``.tar.gz`` suffix — the
+    reference's own endswith('tar') quirk would misroute e.g. 'nectar.json'
+    to tarfile (ADVICE r4), and this loader already deviates from the
+    reference in deterministic glob order, so parity-with-the-bug buys
+    nothing."""
+    if path.endswith((".tar", ".tar.gz")):
         path = extract_raw_archive(path)
     with open(path) as f:
         raw = json.load(f)

@@ -25,7 +25,7 @@ def _clean_py(t: str) -> str:
     t = re.sub(r"\s*\n+\s*", "\n", t)
     t = re.sub(r"(\s)\1+", r"\1", t)
     t = t.replace("´", "'").replace("™", "TM").replace("…", "...")
-    return t.strip(" ")
+    return t.strip()  # full-whitespace strip, == reference str.strip()
 
 
 def _docs(n=40):
