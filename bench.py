@@ -100,18 +100,78 @@ def read_steal_seconds() -> float:
         return 0.0
 
 
+def best2_dispersion(walls: list) -> float:
+    """Relative gap between the two LOWEST walls — the reproducibility
+    signal.  Unlike max-min spread this can recover as more samples
+    arrive: once any two clean samples agree, the kept number is
+    reproduced regardless of how dirty the discarded ones were."""
+    if len(walls) < 2:
+        return 0.0
+    a, b = sorted(walls)[:2]
+    return (b - a) / a if a > 0 else 0.0
+
+
+def keep_sample(samples: list) -> int:
+    """Index of the minimum steal-corrected wall (same criterion the
+    scaling legs use: least interference = closest to the engine)."""
+    return min(range(len(samples)),
+               key=lambda i: samples[i][0] - steal_wall_share(samples[i][1]))
+
+
+def sample_quality(samples: list, cpus: int) -> dict:
+    """Window-quality record for a list of (wall, steal_cpu_sec) samples —
+    embedded in the bench JSON so the driver artifact alone distinguishes
+    'engine slower' from 'host busier' (VERDICT r4 item 3).
+
+    quiet: the KEPT sample saw <2% steal on the pessimistic concentrated
+    bound.  reproduced: the two lowest walls agree within 10% (the
+    memory-bandwidth-contention signature /proc/stat steal can't see)."""
+    walls = [s[0] for s in samples]
+    k = keep_sample(samples)
+    wall, steal = samples[k]
+    frac = steal / max(cpus * wall, 1e-9)
+    disp = best2_dispersion(walls)
+    return {
+        "kept_sample": k,
+        "kept_steal_frac": round(frac, 4),
+        "best2_dispersion": round(disp, 4),
+        "quiet": frac <= 0.02,
+        "reproduced": len(samples) >= 2 and disp <= 0.10,
+        "samples": [
+            {"wall": round(w, 3), "steal_cpu_sec": round(s, 1)}
+            for w, s in samples
+        ],
+    }
+
+
+def needs_more_samples(samples: list, cpus: int, min_samples: int = 2,
+                       max_samples: int = 3) -> bool:
+    """Bounded quiet-window hunt: keep sampling until the kept sample is
+    quiet AND reproduced, or the retry budget is exhausted."""
+    if len(samples) < min_samples:
+        return True
+    if len(samples) >= max_samples:
+        return False
+    q = sample_quality(samples, cpus)
+    return not (q["quiet"] and q["reproduced"])
+
+
 def run_kg_pipeline(spark, n_convs: int, cpus: int,
                     model_cost_ms: float = 0.0, warmup: bool = True,
-                    partitions: int = 0, repeats: int = 1):
-    """Returns (n_triples, best seconds, steal CPU-seconds during best).
+                    partitions: int = 0, repeats: int = 1,
+                    hunt_max: int = 0):
+    """Returns (n_triples, samples) where samples is a list of
+    (raw wall seconds, steal CPU-seconds during that run).
 
-    "Best" = minimum steal-corrected wall (wall - steal/cpus) over
-    ``repeats`` timed runs; the returned seconds are the RAW wall of that
-    run, the steal during it is returned alongside so callers can report
-    both.  A small untimed warm-up run first: cold numbers measure JIT +
-    Python-worker spawn, not the engine.  ``partitions`` pins the input
-    layout (scaling runs hold it constant across core counts — same data
-    layout, more workers, like adding executors to a cluster)."""
+    With ``hunt_max`` > 0 the repeat count is adaptive: sample until the
+    best run is quiet and reproduced (needs_more_samples) or ``hunt_max``
+    runs are spent; otherwise exactly ``repeats`` runs.  Callers pick the
+    kept run via keep_sample() and report sample_quality() alongside so
+    the recorded number is self-describing.  A small untimed warm-up run
+    first: cold numbers measure JIT + Python-worker spawn, not the
+    engine.  ``partitions`` pins the input layout (scaling runs hold it
+    constant across core counts — same data layout, more workers, like
+    adding executors to a cluster)."""
     from information_extraction_t5_spark.data import synth
     from information_extraction_t5_spark.pipeline import (
         PipelineConfig,
@@ -141,18 +201,24 @@ def run_kg_pipeline(spark, n_convs: int, cpus: int,
     transcripts = synth.transcripts_df(
         spark, n_convs, partitions=partitions or max(4 * cpus, 16)
     )
-    best, best_steal, n = None, 0.0, 0
-    for _ in range(max(repeats, 1)):
+    samples, n = [], 0
+
+    def one_run():
+        nonlocal n
         s0 = read_steal_seconds()
         t0 = time.time()
         n = run_pipeline(spark, transcripts, cfg).count()
         dt = time.time() - t0
-        steal = max(read_steal_seconds() - s0, 0.0)
-        if (best is None
-                or dt - steal_wall_share(steal)
-                < best - steal_wall_share(best_steal)):
-            best, best_steal = dt, steal
-    return n, best, best_steal
+        samples.append((dt, max(read_steal_seconds() - s0, 0.0)))
+
+    if hunt_max > 0:
+        while needs_more_samples(samples, cpus, min_samples=min(2, hunt_max),
+                                 max_samples=hunt_max):
+            one_run()
+    else:
+        for _ in range(max(repeats, 1)):
+            one_run()
+    return n, samples
 
 
 def headline_queries():
@@ -194,7 +260,7 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
     out: dict = {}
     env = dict(os.environ, SPARK_DRIVER_MEM="24g")
 
-    samples: dict = {}
+    legs: dict = {}
 
     def leg(cpus: int) -> None:
         parsed = run_leg_subprocess(
@@ -204,44 +270,31 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
              "--partitions", "256", "--repeats", "1"],
             env,
         )
-        samples.setdefault(cpus, []).append(parsed["value"])
+        legs.setdefault(cpus, []).append(
+            (parsed["value"], parsed["steal_cpu_sec"])
+        )
         if (cpus not in out
                 or parsed["value_steal_corrected"]
                 < out[cpus]["value_steal_corrected"]):
             out[cpus] = parsed
 
-    def steal_frac(cpus: int) -> float:
-        # retry trigger uses the PESSIMISTIC bound (all steal concentrated
-        # on the leg's own lanes: steal/cpus of wall) — the uniform-spread
-        # share used for *correction* under-reads legs where the
-        # co-tenant's load actually landed on the busy lanes, and a missed
-        # retry costs a whole recorded pair while a spurious one costs a
-        # few minutes.  Threshold 2%: quiet legs measure 0.02-0.3%, dirty
-        # ones 2-8% — observed same-code walls differing 24% at 4.7%.
-        p = out[cpus]
-        return p["steal_cpu_sec"] / max(cpus * p["value"], 1e-9)
-
-    def dispersed(cpus: int) -> bool:
-        # co-tenant memory-bandwidth pressure is invisible to /proc/stat:
-        # the only symptom is sample dispersion.  >10% spread between the
-        # level's walls earns one more sample.
-        s = samples.get(cpus, [])
-        return len(s) >= 2 and (max(s) - min(s)) / min(s) > 0.10
-
     # TWO interleaved passes per level (8,32,8,32), best per level, then
-    # RETRY any leg that measurably ran inside a co-tenant steal window.
-    # Two unconditional passes are back (r4): the r3->r4 adaptive variant
-    # retried only on visible steal, but the wide leg also loses 15-25%
-    # to co-tenant interference that /proc/stat steal does NOT see
-    # (memory-bandwidth contention) — observed 90.4s vs 73.0s walls for
-    # identical legs minutes apart with only 2% visible steal.  A second
-    # sample per level is the only reliable defense; best-per-level is
-    # principled (least interference = closest to the engine).
+    # RETRY any leg whose kept sample is not quiet (>2% steal on the
+    # PESSIMISTIC concentrated bound — the uniform-spread share used for
+    # *correction* under-reads legs where the co-tenant's load actually
+    # landed on the busy lanes) or not reproduced (two lowest walls >10%
+    # apart — the memory-bandwidth signature /proc/stat steal can't see:
+    # observed 90.4s vs 73.0s identical legs minutes apart at 2% visible
+    # steal).  Two unconditional passes stay (r4): a second sample per
+    # level is the only reliable defense; best-per-level is principled
+    # (least interference = closest to the engine).  needs_more_samples
+    # bounds the hunt at 3 legs per level.
     for _ in range(2):
         for cpus in (n_low, n_high):
             leg(cpus)
     for cpus in (n_low, n_high):
-        if steal_frac(cpus) > 0.02 or dispersed(cpus):
+        while needs_more_samples(legs[cpus], cpus,
+                                 min_samples=2, max_samples=3):
             leg(cpus)
     lo, hi = out[n_low], out[n_high]
     ratio = hi["triples_per_sec"] / lo["triples_per_sec"]
@@ -268,6 +321,10 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
         "high_sec_corrected": hi["value_steal_corrected"],
         "speedup_corrected": round(ratio_c, 3),
         "efficiency_corrected": round(ratio_c / (n_high / n_low), 3),
+        # full per-leg sample record + kept index so the efficiency
+        # number is self-describing (VERDICT r4 item 3)
+        "low_window_quality": sample_quality(legs[n_low], n_low),
+        "high_window_quality": sample_quality(legs[n_high], n_high),
     }
 
 
@@ -277,18 +334,37 @@ def bench_once(sf_dir: str, cpus: int, with_scaling: bool = True) -> dict:
     times: dict = {}
 
     n_convs = max(int(CONVS_PER_SF * sf), 50)
-    # two timed runs, best steal-corrected kept: the headline needs the
-    # same single-sample defense as the scaling legs — this host's
-    # co-tenant bursts inflate one-shot walls up to 2x (see notes_r4.md)
-    n_triples, kg_sec, kg_steal = run_kg_pipeline(
-        spark, n_convs, cpus, repeats=2
+    # bounded quiet-window hunt (VERDICT r4 item 3): 2-4 timed runs until
+    # the kept one is quiet AND reproduced; the full per-sample record is
+    # embedded so BENCH_r*.json alone distinguishes 'engine slower' from
+    # 'host busier' — this host's co-tenant bursts inflate one-shot walls
+    # up to 2x (see notes_r4.md)
+    n_triples, kg_samples = run_kg_pipeline(
+        spark, n_convs, cpus, hunt_max=4
     )
+    kg_quality = sample_quality(kg_samples, cpus)
+    kg_sec, kg_steal = kg_samples[kg_quality["kept_sample"]]
     times["kg_pipeline"] = round(kg_sec, 3)
 
+    # headline queries: best of two, per-query samples recorded (the r4
+    # artifact showed one-shot query walls swinging up to 6x under
+    # sustained interference with no way to tell from the record)
+    query_samples: dict = {}
     for name, fn in headline_queries().items():
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+        per = []
+        for _ in range(2):
+            s0 = read_steal_seconds()
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            per.append((time.time() - t0,
+                        max(read_steal_seconds() - s0, 0.0)))
+        k = keep_sample(per)
+        times[name] = round(per[k][0], 3)
+        query_samples[name] = {
+            "walls": [round(w, 3) for w, _ in per],
+            "steal_cpu_sec": [round(s, 1) for _, s in per],
+            "kept": k,
+        }
 
     total = round(sum(times.values()), 3)
     result = {
@@ -302,6 +378,8 @@ def bench_once(sf_dir: str, cpus: int, with_scaling: bool = True) -> dict:
         "kg_triples": n_triples,
         "triples_per_sec": round(n_triples / kg_sec, 2),
         "kg_steal_cpu_sec": round(kg_steal, 1),
+        "kg_window_quality": kg_quality,
+        "query_samples": query_samples,
     }
     if with_scaling:
         spark.stop()  # free the cores for the two scaling subprocesses
@@ -445,10 +523,12 @@ def main():
         spark = build_spark(args.cpus)
         sf = sf_of(args.sf_dir)
         n_convs = args.convs or max(int(CONVS_PER_SF * sf), 50)
-        n_triples, kg_sec, steal = run_kg_pipeline(
+        n_triples, samples = run_kg_pipeline(
             spark, n_convs, args.cpus, model_cost_ms=args.model_cost_ms,
             partitions=args.partitions, repeats=args.repeats,
         )
+        quality = sample_quality(samples, args.cpus)
+        kg_sec, steal = samples[quality["kept_sample"]]
         corrected = max(kg_sec - steal_wall_share(steal), 0.001)
         print(json.dumps({
             "metric": "kg_pipeline_sec",
@@ -466,6 +546,7 @@ def main():
             "steal_cpu_sec": round(steal, 1),
             "value_steal_corrected": round(corrected, 3),
             "triples_per_sec_corrected": round(n_triples / corrected, 2),
+            "window_quality": quality,
         }))
         return
 

@@ -69,3 +69,57 @@ def test_invisible_dispersion_triggers_retry(monkeypatch):
     s = bench.scaling_pair("/tmp/sf", convs=100)
     assert calls["per_level"][32] == 3
     assert s["high_sec"] == 72.0
+
+
+def test_pair_embeds_window_quality(monkeypatch):
+    fake, calls = _fake_leg_factory({
+        8: [(240.0, 0.5), (241.0, 0.4)],
+        32: [(90.0, 136.0), (91.0, 140.0), (72.0, 0.5)],
+    })
+    monkeypatch.setattr(bench, "run_leg_subprocess", fake)
+    s = bench.scaling_pair("/tmp/sf", convs=100)
+    hq = s["high_window_quality"]
+    assert hq["kept_sample"] == 2          # the clean third leg
+    assert hq["quiet"] is True             # 0.5 / (32*72) ~ 0.02%
+    assert hq["reproduced"] is False       # 72 vs 90: best-two gap 25%
+    assert [x["wall"] for x in hq["samples"]] == [90.0, 91.0, 72.0]
+    lq = s["low_window_quality"]
+    assert lq["quiet"] and lq["reproduced"] and lq["kept_sample"] == 0
+
+
+# ---------------------------------------------------------------------------
+# pure sample-quality helpers (the headline hunt reuses them)
+# ---------------------------------------------------------------------------
+
+
+def test_best2_dispersion_recovers_with_clean_samples():
+    assert bench.best2_dispersion([100.0]) == 0.0
+    assert round(bench.best2_dispersion([90.0, 72.5]), 3) == 0.241
+    # a third clean sample pairs with the earlier clean one: reproduced
+    assert round(bench.best2_dispersion([90.0, 72.5, 72.0]), 3) == 0.007
+
+
+def test_keep_sample_prefers_steal_corrected_minimum():
+    import os
+    nc = os.cpu_count() or 1
+    # plain raw minimum when steal is negligible
+    assert bench.keep_sample([(72.0, 0.5), (71.0, 0.4)]) == 1
+    # a slower wall wins once its measured steal correction exceeds the
+    # gap (same criterion the scaling legs apply via
+    # value_steal_corrected)
+    assert bench.keep_sample([(72.0, 0.0), (73.0, 2.0 * nc)]) == 1
+    assert bench.keep_sample([(72.0, 0.0), (73.0, 0.5 * nc)]) == 0
+
+
+def test_needs_more_samples_bounds():
+    cpus = 32
+    # below min: always more
+    assert bench.needs_more_samples([], cpus)
+    assert bench.needs_more_samples([(72.0, 0.1)], cpus)
+    # quiet + reproduced after two: stop
+    assert not bench.needs_more_samples([(72.0, 0.1), (72.5, 0.1)], cpus)
+    # dirty kept sample: one more (until the cap)
+    dirty = [(72.0, 200.0), (72.5, 210.0)]
+    assert bench.needs_more_samples(dirty, cpus)
+    assert not bench.needs_more_samples(dirty + [(73.0, 205.0)], cpus,
+                                        max_samples=3)
