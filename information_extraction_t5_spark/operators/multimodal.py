@@ -68,6 +68,12 @@ def extract_features(
     ``decoder(payload, kind) -> list[float]`` is injected; default is the
     deterministic stub.  Real decoders (PIL/librosa/ffmpeg) plug in without
     touching the Spark plumbing.
+
+    Undecodable payloads yield ``feature = NULL`` with ``ok = false``
+    (r5 migration note: previously a zero vector — a forgotten ``ok``
+    filter silently averaged zeros into downstream aggregates; a null
+    propagates/vanishes loudly instead.  Consumers that want the old
+    shape: ``coalesce(feature, array_repeat(0.0f, dim))``).
     """
     decode = decoder or (lambda payload, kind: _fake_feature(payload, dim))
 
@@ -79,7 +85,7 @@ def extract_features(
                     feats.append(decode(bytes(payload or b""), kind))
                     oks.append(True)
                 except NotImplementedError:
-                    feats.append([0.0] * dim)
+                    feats.append(None)
                     oks.append(False)
             out = pdf[["media_id", "kind"]].copy()
             out["feature"] = feats

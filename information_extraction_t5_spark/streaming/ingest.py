@@ -66,6 +66,7 @@ def stream_pipeline(
     out_path: str,
     checkpoint_path: str,
     gap: str = "30 minutes",
+    watermark: str = "1 hour",
     cfg=None,
     trigger_available_now: bool = True,
 ):
@@ -78,6 +79,12 @@ def stream_pipeline(
     Canonicalization stays a periodic batch compaction over the appended
     triples (global connected components are not a per-micro-batch
     operation).  Returns the StreamingQuery.
+
+    ``watermark`` bounds how late a turn may arrive (event time behind the
+    max seen) and still join its conversation — the streaming==batch
+    equality contract only holds for arrival schedules within it; a turn
+    later than the watermark is dropped by design (late-data semantics,
+    pinned by the adversarial-arrival property test).
     """
     from information_extraction_t5_spark.operators.extraction import (
         run_extraction_from_documents,
@@ -93,7 +100,8 @@ def stream_pipeline(
     from information_extraction_t5_spark.pipeline import PipelineConfig
 
     cfg = cfg or PipelineConfig()
-    sessions = sessionized_conversations(stream, gap=gap)
+    sessions = sessionized_conversations(stream, gap=gap,
+                                         watermark=watermark)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select("conv_id", "text")

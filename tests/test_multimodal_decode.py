@@ -89,7 +89,9 @@ def test_spark_stage_with_real_decoder(spark):
         payload, kind = payloads[mid]
         if kind == "video":  # the planted undecodable cycle
             assert row["ok"] is False
-            assert list(row["feature"]) == [0.0] * 8
+            # r5: undecodable -> NULL feature (not a zero vector), so a
+            # forgotten ok-filter fails loudly downstream
+            assert row["feature"] is None
         else:
             assert row["ok"] is True
             expected = decode_stdlib(payload, kind)

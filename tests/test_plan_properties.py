@@ -112,3 +112,40 @@ def test_model_stage_parallelism_survives_aqe(spark):
         f"model stage ran in {n_parts} partitions; byte-coalescing "
         f"collapse regressed (want >= {want})"
     )
+
+
+def test_squad_conversion_plan_is_broadcast_and_python_free(spark):
+    """R1->R2 conversion (r5): the qa plan must broadcast (tiny spec — a
+    BroadcastNestedLoopJoin cross is correct; a CartesianProduct is not),
+    the windows-answers join must hash on the doc key, and answer
+    construction must stay codegen'd (no BatchEvalPython — the only
+    Python stage is the parity-pinned window kernel's mapInPandas)."""
+    from information_extraction_t5_spark.core.windows import WindowSpec
+    from information_extraction_t5_spark.data import synth
+    from information_extraction_t5_spark.operators.windows import (
+        assemble_documents,
+    )
+    from information_extraction_t5_spark.sources.convert import (
+        LARGEST_QUESTION,
+        documents_to_qa_windows,
+    )
+
+    docs = assemble_documents(synth.transcripts_df(spark, 10)).select(
+        F.col("conv_id").alias("doc_id"), "text",
+        F.create_map(F.lit("cpf"), F.lit("000.000.000-11")).alias("fields"),
+        F.struct(
+            *[
+                F.lit(None).cast("string").alias(c)
+                for c in ["logradouro", "numero", "complemento", "bairro",
+                          "cidade", "estado", "cep"]
+            ]
+        ).alias("endereco"),
+    )
+    plan = _plan(documents_to_qa_windows(
+        docs,
+        spec=WindowSpec(200, 0.2, 2, LARGEST_QUESTION, False),
+        type_names=["form.cpf"], project="form",
+    ))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the broadcast qa-spec cross
