@@ -101,3 +101,80 @@ def test_squad_roundtrip(spark, tmp_path, ref_documents):
     a = sorted(map(tuple, qa.collect()))
     b = sorted(map(tuple, back.select(*qa.columns).collect()))
     assert a == b
+
+
+def test_convert_dataset_cli(spark, tmp_path):
+    """scripts/convert_dataset.py — the reference's
+    convert_dataset_to_squad CLI re-expressed on Spark: raw JSON in,
+    train/valid/test SQuAD JSON-lines out.  Checks the split is disjoint
+    and exhaustive, valid/test carry forced-N/A qas while the unforced
+    train does not, and the files round-trip through read_squad_jsonl."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    import convert_dataset
+
+    raw = {}
+    for i in range(20):
+        raw[f"doc{i:03d}"] = {
+            "text": f"Nome Completo Pessoa {i}\nUF SP\nConta Corrente "
+                    f"00{i:02d}-1\n" + "linha de contexto extra " * 10,
+            "nome_completo": f"Pessoa {i}",
+            "cpf": f"{i:03d}.000.000-00",
+            "endereco": {"estado": "SP", "cidade": f"Cidade {i}"},
+        }
+    src = tmp_path / "raw.json"
+    src.write_text(json.dumps(raw), encoding="utf-8")
+
+    out = {n: str(tmp_path / f"{n}.json")
+           for n in ("train", "valid", "test")}
+    counters = convert_dataset.main([
+        "--raw-data-file", str(src),
+        "--train-file", out["train"],
+        "--valid-file", out["valid"],
+        "--test-file", out["test"],
+        "--type-names", "form.nome_completo", "form.cpf", "form.endereco",
+        "--max-size", "300", "--max-windows", "2",
+        "--valid-percent", "0.3",
+    ])
+    assert counters["train"] > 0 and counters["valid"] > 0
+    assert counters["test"] == counters["valid"]  # no test file: reuse
+
+    train = read_squad_jsonl(spark, out["train"])
+    valid = read_squad_jsonl(spark, out["valid"])
+    train_docs = {r["doc_id"] for r in
+                  train.select("doc_id").distinct().collect()}
+    valid_docs = {r["doc_id"] for r in
+                  valid.select("doc_id").distinct().collect()}
+    assert train_docs and valid_docs
+    assert not (train_docs & valid_docs)           # disjoint
+    assert train_docs | valid_docs == set(raw)     # exhaustive
+
+    # valid forces the full N/A universe (12 qa_ids per window); the
+    # unforced train carries only the 3 configured ones
+    per_window_valid = (
+        valid.groupBy("doc_id", "window_id").count().collect()
+    )
+    assert all(r["count"] == 12 for r in per_window_valid)
+    per_window_train = (
+        train.groupBy("doc_id", "window_id").count().collect()
+    )
+    assert all(r["count"] == 3 for r in per_window_train)
+    configured = {"form.nome_completo", "form.cpf", "form.endereco"}
+    valid_ids = {r["qa_id"] for r in
+                 valid.select("qa_id").distinct().collect()}
+    train_ids = {r["qa_id"] for r in
+                 train.select("qa_id").distinct().collect()}
+    assert len(valid_ids) == 12 and configured < valid_ids  # forced N/A
+    assert train_ids == configured  # unforced: only annotated qa_ids
+    # forced rows are pure-N/A answers; annotated compound answers may
+    # carry per-subfield N/A (missing logradouro etc.) — that's the
+    # reference's own answer grammar, not a forced qa
+    forced = valid.filter(~F.col("qa_id").isin(*configured))
+    assert forced.count() > 0
+    assert forced.filter(
+        ~F.col("answer_text").rlike(r"^\[[^]]+\]: N/A$")
+    ).count() == 0
