@@ -63,20 +63,32 @@ def read_squad_json(spark: SparkSession, path: str) -> DataFrame:
 
 def to_squad_frame(qa_windows: DataFrame,
                    version: str = "ie-t5-spark") -> DataFrame:
-    """Flat qa_windows rows -> one nested SQuAD document per row."""
-    qas = qa_windows.groupBy("doc_id", "window_id", "window_text").agg(
-        F.collect_list(
+    """Flat qa_windows rows -> one nested SQuAD document per row.
+
+    When the input carries ``qa_idx`` (the paragraph-order position the
+    R1->R2 conversion emits), qas are restored to that exact order —
+    matching the reference's paragraph layout (annotated qa_ids in
+    type_names order, then the forced-N/A block sorted); otherwise
+    collect order is whatever the shuffle delivered."""
+    qa_struct = F.struct(
+        F.col("question"),
+        F.col("qa_id").alias("id"),
+        F.array(
             F.struct(
-                F.col("question"),
-                F.col("qa_id").alias("id"),
-                F.array(
-                    F.struct(
-                        F.col("answer_start"),
-                        F.col("answer_text").alias("text"),
-                    )
-                ).alias("answers"),
+                F.col("answer_start"),
+                F.col("answer_text").alias("text"),
             )
-        ).alias("qas")
+        ).alias("answers"),
+    )
+    if "qa_idx" in qa_windows.columns:
+        collected = F.array_sort(
+            F.collect_list(F.struct(F.col("qa_idx"), qa_struct.alias("qa")))
+        )
+        qas_col = F.transform(collected, lambda s: s["qa"])
+    else:
+        qas_col = F.collect_list(qa_struct)
+    qas = qa_windows.groupBy("doc_id", "window_id", "window_text").agg(
+        qas_col.alias("qas")
     )
     paragraphs = qas.groupBy("doc_id").agg(
         F.array_sort(
