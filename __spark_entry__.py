@@ -1403,6 +1403,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["squad_conversion"] = squad_conversion
 
+    # ---- corpus-quality curation operators (operators/quality.py):
+    # repetition / PII / URL signals, pure expressions, shuffle-free ----
+
+    def _planted_repetition(spark, sf):
+        """documents text restructured into lines with planted duplicate
+        lines (every 3rd doc gets a second copy of its 40-char prefix
+        line) — deterministic, replayed verbatim in the oracle SQL."""
+        d = _t(spark, sf, "documents")
+        return d.withColumn(
+            "ptext",
+            F.concat(
+                F.col("text"), F.lit("\n"), F.substring("text", 1, 40),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(F.lit("\n"), F.substring("text", 1, 40)),
+                ).otherwise(F.lit("")),
+            ),
+        )
+
+    def repetition_stats_q(spark, sf):
+        from information_extraction_t5_spark.operators.quality import (
+            repetition_stats,
+        )
+
+        return repetition_stats(_planted_repetition(spark, sf),
+                                text_col="ptext")
+
+    q["repetition_stats"] = repetition_stats_q
+
+    def pii_redaction(spark, sf):
+        from information_extraction_t5_spark.operators.quality import (
+            pii_stats,
+        )
+
+        d = _t(spark, sf, "documents")
+        planted = d.withColumn(
+            "ptext",
+            F.concat(
+                F.lit("reach u"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.20."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(".9 call +55 11 9"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit("-1234 "), F.col("text"),
+            ),
+        )
+        out = pii_stats(planted, text_col="ptext")
+        return out.select(
+            "doc_id",
+            F.col("email_count").cast("bigint").alias("email_count"),
+            F.col("ipv4_count").cast("bigint").alias("ipv4_count"),
+            F.col("phone_like_count").cast("bigint")
+            .alias("phone_like_count"),
+            F.md5("redacted").alias("redacted_md5"),
+        )
+
+    q["pii_redaction"] = pii_redaction
+
+    def url_domains(spark, sf):
+        from information_extraction_t5_spark.operators.quality import (
+            url_domain_stats,
+        )
+
+        d = _t(spark, sf, "documents")
+        planted = d.withColumn(
+            "ptext",
+            F.concat(
+                F.lit("see HTTPS://WWW.Site"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".COM:443/Path/ and http://mirror"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".org:80/a#frag "), F.col("text"),
+            ),
+        )
+        out = url_domain_stats(planted, text_col="ptext")
+        return out.select(
+            "domain",
+            F.col("n_urls").cast("bigint").alias("n_urls"),
+            F.col("n_distinct_urls").cast("bigint")
+            .alias("n_distinct_urls"),
+        )
+
+    q["url_domains"] = url_domains
+
+    def sequence_packing(spark, sf):
+        """Greedy token-budget packing per bounded shard (source x
+        256-doc block) — the applyInPandas packer vs a recursive-CTE
+        oracle.  Shard bounds recursion depth AND mirrors the 100 TB
+        layout (packing parallelism independent of corpus size)."""
+        from information_extraction_t5_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        d = _t(spark, sf, "documents")
+        sized = d.select(
+            F.concat(
+                F.col("source"), F.lit("#"),
+                F.floor(F.col("doc_id") / 256).cast("bigint")
+                .cast("string"),
+            ).alias("shard"),
+            "doc_id",
+            F.greatest(
+                F.lit(1), F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            ).cast("bigint").alias("n_tokens"),
+        )
+        packed = pack_sequences(
+            sized, group_col="shard", order_col="doc_id",
+            size_col="n_tokens", max_units=120,
+        )
+        return packed.select(
+            "shard", "doc_id", "n_tokens",
+            F.col("pack_id").cast("bigint").alias("pack_id"),
+            F.col("pack_pos").cast("bigint").alias("pack_pos"),
+        )
+
+    q["sequence_packing"] = sequence_packing
+
     # ---- driver-gate rotation (VERDICT r2 item 1; r3 item 2; r4 item 2) ----
     # The driver's correctness file caps at the FIRST 50 entries, so the
     # window rotates every round: the entries that sat OUTSIDE the
@@ -1423,7 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_rollup_grouped", "question_expand_all",
         "question_choose_random",
         # net-new r5 operator gates lead alongside the rotated block
-        "squad_conversion",
+        "squad_conversion", "repetition_stats", "pii_redaction",
+        "url_domains", "sequence_packing",
     ]
     assert set(front) <= set(q), sorted(set(front) - set(q))
     rotated = {name: q[name] for name in front}
@@ -2849,6 +2967,145 @@ def oracle_sql() -> dict[str, str]:
         from assign a, q
         where a.cell in (select cell from probe)
         order by cos desc, vec_id asc limit 10
+    """
+
+    # ---- corpus-quality curation (operators/quality.py, packing.py):
+    # the oracle replays the planted text and the pinned per-row
+    # definitions (module docstring) in list/regex SQL ----
+
+    _PTEXT_REP = (
+        "text || chr(10) || substr(text, 1, 40) || "
+        "case when doc_id % 3 = 0 then chr(10) || substr(text, 1, 40) "
+        "else '' end"
+    )
+    o["repetition_stats"] = f"""
+        with p as (select doc_id, {_PTEXT_REP} as ptext from documents),
+        l as (select doc_id, unnest(string_split(ptext, chr(10))) as line
+              from p),
+        lc as (select doc_id, line, count(*) as c, length(line) as ln
+               from l group by 1, 2, 4),
+        lagg as (
+          select doc_id, cast(sum(c) as bigint) as n_lines,
+                 cast(sum(c - 1) as double) / sum(c) as dup_line_frac,
+                 case when sum(c * ln) = 0 then 0.0
+                      else cast(sum((c - 1) * ln) as double) / sum(c * ln)
+                 end as dup_line_char_frac
+          from lc group by 1),
+        w as (select doc_id, length(ptext) as tl,
+                     string_split_regex(trim(ptext), '\\s+') as words
+              from p),
+        g2 as (select doc_id, tl,
+                      unnest(list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i + 1])) as g
+               from w where len(words) >= 2),
+        g2c as (select doc_id, tl, g, count(*) as c, length(g) as gl
+                from g2 group by 1, 2, 3, 5),
+        t2 as (select doc_id,
+                      cast(max(c * gl) as double) / max(tl) as f
+               from g2c group by 1),
+        g5 as (select doc_id, tl,
+                      unnest(list_transform(range(1, len(words) - 3),
+                        i -> words[i] || ' ' || words[i + 1] || ' ' ||
+                             words[i + 2] || ' ' || words[i + 3] || ' ' ||
+                             words[i + 4])) as g
+               from w where len(words) >= 5),
+        g5c as (select doc_id, tl, g, count(*) as c, length(g) as gl
+                from g5 group by 1, 2, 3, 5),
+        d5 as (select doc_id,
+                      least(1.0, cast(coalesce(sum(case when c >= 2
+                              then c * gl end), 0) as double) / max(tl))
+                        as f
+               from g5c group by 1)
+        select p.doc_id, lagg.n_lines,
+               round(lagg.dup_line_frac, 6) as dup_line_frac,
+               round(lagg.dup_line_char_frac, 6) as dup_line_char_frac,
+               round(coalesce(t2.f, 0.0), 6) as top_2gram_char_frac,
+               round(coalesce(d5.f, 0.0), 6) as dup_5gram_char_frac
+        from p
+        join lagg on lagg.doc_id = p.doc_id
+        left join t2 on t2.doc_id = p.doc_id
+        left join d5 on d5.doc_id = p.doc_id
+    """
+
+    _EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _IPV4 = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+    _PHONE = "\\+?\\d[\\d()\\- ]{6,}\\d"
+    _PTEXT_PII = (
+        "'reach u' || cast(doc_id as varchar) || '@example.com or 10.20.'"
+        " || cast(doc_id % 250 as varchar) || '.9 call +55 11 9'"
+        " || lpad(cast(doc_id % 10000 as varchar), 4, '0')"
+        " || '-1234 ' || text"
+    )
+    o["pii_redaction"] = f"""
+        with p as (select doc_id, {_PTEXT_PII} as ptext from documents)
+        select doc_id,
+               cast(len(regexp_extract_all(ptext, '{_EMAIL}'))
+                    as bigint) as email_count,
+               cast(len(regexp_extract_all(ptext, '{_IPV4}'))
+                    as bigint) as ipv4_count,
+               cast(len(regexp_extract_all(ptext, '{_PHONE}'))
+                    as bigint) as phone_like_count,
+               md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+                     '{_EMAIL}', '<EMAIL>', 'g'),
+                     '{_IPV4}', '<IP>', 'g'),
+                     '{_PHONE}', '<PHONE>', 'g')) as redacted_md5
+        from p
+    """
+
+    _PTEXT_URL = (
+        "'see HTTPS://WWW.Site' || cast(doc_id % 5 as varchar)"
+        " || '.COM:443/Path/ and http://mirror'"
+        " || cast(doc_id % 3 as varchar) || '.org:80/a#frag ' || text"
+    )
+    o["url_domains"] = f"""
+        with p as (select doc_id, {_PTEXT_URL} as ptext from documents),
+        u as (select unnest(regexp_extract_all(ptext,
+                    '(?i)https?://\\S+')) as raw from p),
+        n1 as (select regexp_replace(raw, '#.*', '') as u0 from u),
+        n2 as (select u0, regexp_extract(u0,
+                    '(?i)^(https?://[^/]*)', 1) as head from n1),
+        n3 as (select regexp_replace(
+                        regexp_replace(lower(head), ':(80|443)$', '')
+                        || substr(u0, length(head) + 1), '/$', '') as url
+               from n2)
+        select regexp_extract(url, '^https?://([^/:]+)', 1) as domain,
+               cast(count(*) as bigint) as n_urls,
+               cast(count(distinct url) as bigint) as n_distinct_urls
+        from n3 group by 1
+    """
+
+    o["sequence_packing"] = """
+        with base as (
+          select source || '#' || cast(cast(floor(doc_id / 256.0)
+                   as bigint) as varchar) as shard,
+                 doc_id,
+                 greatest(1, len(string_split_regex(trim(text),
+                   '\\s+'))) as n_tokens,
+                 row_number() over (partition by
+                   source || '#' || cast(cast(floor(doc_id / 256.0)
+                     as bigint) as varchar)
+                   order by doc_id) as rn
+          from documents),
+        rec as (
+          with recursive walk as (
+            select shard, doc_id, n_tokens, rn,
+                   0 as pack_id, 0 as pack_pos, n_tokens as acc
+            from base where rn = 1
+            union all
+            select b.shard, b.doc_id, b.n_tokens, b.rn,
+                   case when w.acc + b.n_tokens > 120
+                        then w.pack_id + 1 else w.pack_id end,
+                   case when w.acc + b.n_tokens > 120
+                        then 0 else w.pack_pos + 1 end,
+                   case when w.acc + b.n_tokens > 120
+                        then b.n_tokens else w.acc + b.n_tokens end
+            from walk w join base b
+              on b.shard = w.shard and b.rn = w.rn + 1)
+          select * from walk)
+        select shard, doc_id, n_tokens,
+               cast(pack_id as bigint) as pack_id,
+               cast(pack_pos as bigint) as pack_pos
+        from rec
     """
 
     return o
