@@ -1520,6 +1520,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sequence_packing"] = sequence_packing
 
+    def decontamination_flags(spark, sf):
+        """Benchmark decontamination over documents: the eval set is the
+        doc_id % 37 == 0 slice of the corpus itself (so contamination is
+        planted deterministically — those docs self-flag via their own
+        8-grams), n=8 because sf documents run 10-99 words."""
+        from information_extraction_t5_spark.operators.decontaminate import (
+            benchmark_ngrams, contamination_stats,
+        )
+
+        d = _t(spark, sf, "documents")
+        bench = d.filter(F.col("doc_id") % 37 == 0)
+        grams = benchmark_ngrams(bench, n=8)
+        return contamination_stats(d, grams, n=8)
+
+    q["decontamination_flags"] = decontamination_flags
+
     # ---- driver-gate rotation (VERDICT r2 item 1; r3 item 2; r4 item 2) ----
     # The driver's correctness file caps at the FIRST 50 entries, so the
     # window rotates every round: the entries that sat OUTSIDE the
@@ -1541,7 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "question_choose_random",
         # net-new r5 operator gates lead alongside the rotated block
         "squad_conversion", "repetition_stats", "pii_redaction",
-        "url_domains", "sequence_packing",
+        "url_domains", "sequence_packing", "decontamination_flags",
     ]
     assert set(front) <= set(q), sorted(set(front) - set(q))
     rotated = {name: q[name] for name in front}
@@ -3106,6 +3122,28 @@ def oracle_sql() -> dict[str, str]:
                cast(pack_id as bigint) as pack_id,
                cast(pack_pos as bigint) as pack_pos
         from rec
+    """
+
+    # decontamination: the oracle joins on the raw gram where Spark joins
+    # on md5(gram) — identical keys modulo md5 collisions (none at n=8
+    # over this vocabulary); count(distinct gram) == countDistinct(md5).
+    o["decontamination_flags"] = """
+        with w as (select doc_id,
+                          string_split_regex(trim(text), '\\s+') as words
+                   from documents),
+        g as (select doc_id,
+                     unnest(list_transform(range(1, len(words) - 6),
+                       i -> array_to_string(list_slice(words, i, i + 7),
+                                            ' '))) as gram
+              from w where len(words) >= 8),
+        bg as (select distinct gram from g where doc_id % 37 = 0),
+        hits as (select g.doc_id,
+                        count(distinct g.gram) as n_hit_grams
+                 from g join bg using (gram) group by 1)
+        select w.doc_id,
+               cast(coalesce(h.n_hit_grams, 0) as bigint) as n_hit_grams,
+               coalesce(h.n_hit_grams, 0) > 0 as contaminated
+        from w left join hits h on h.doc_id = w.doc_id
     """
 
     return o
