@@ -1536,6 +1536,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontamination_flags"] = decontamination_flags
 
+    def source_rebalance(spark, sf):
+        """Domain-mix rebalancing to a 5:3:2 target over three sources
+        (constant-size re-mix, total=None): src0 up-samples (rate 1.5),
+        src1 is near-unity (0.9), src2 down-samples (0.6).  Integer-
+        rational keep test -> bit-exact oracle replay."""
+        from information_extraction_t5_spark.operators.mixing import (
+            rebalance_sources,
+        )
+
+        d = _t(spark, sf, "documents").select("doc_id", "source")
+        out = rebalance_sources(d, {"src0": 5, "src1": 3, "src2": 2},
+                                seed=7)
+        return out.select(
+            "doc_id", "source", F.col("copy").cast("bigint").alias("copy")
+        )
+
+    q["source_rebalance"] = source_rebalance
+
     # ---- driver-gate rotation (VERDICT r2 item 1; r3 item 2; r4 item 2) ----
     # The driver's correctness file caps at the FIRST 50 entries, so the
     # window rotates every round: the entries that sat OUTSIDE the
@@ -1558,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # net-new r5 operator gates lead alongside the rotated block
         "squad_conversion", "repetition_stats", "pii_redaction",
         "url_domains", "sequence_packing", "decontamination_flags",
+        "source_rebalance",
     ]
     assert set(front) <= set(q), sorted(set(front) - set(q))
     rotated = {name: q[name] for name in front}
@@ -3144,6 +3163,36 @@ def oracle_sql() -> dict[str, str]:
                cast(coalesce(h.n_hit_grams, 0) as bigint) as n_hit_grams,
                coalesce(h.n_hit_grams, 0) > 0 as contaminated
         from w left join hits h on h.doc_id = w.doc_id
+    """
+
+    # source_rebalance: integer-rational keep test replayed over DuckDB
+    # hugeints — copies = num//den + [ (h+1)*den < (num mod den)*2^32 ]
+    # with num = total*w, den = wsum*observed, h = md5(id:7) 32-bit
+    # prefix (the sampling._uniform draw).  total = sum of targeted
+    # sources' counts (constant-size re-mix), wsum = 10.
+    o["source_rebalance"] = """
+        with t(source, w) as (values ('src0', 5), ('src1', 3),
+                              ('src2', 2)),
+        c as (select source, count(*) as observed
+              from documents group by 1),
+        tot as (select sum(c.observed) as total
+                from c join t using (source)),
+        r as (select c.source,
+                     (select total from tot) * t.w as num,
+                     10 * c.observed as den
+              from c join t using (source)),
+        d as (select doc_id, source,
+                     ('0x' || substring(md5(cast(doc_id as varchar)
+                        || ':7'), 1, 8))::bigint + 1 as h1
+              from documents),
+        k as (select d.doc_id, d.source,
+                     cast((num // den) + case when h1 * den <
+                        (num % den) * 4294967296 then 1 else 0 end
+                       as bigint) as copies
+              from d join r using (source))
+        select doc_id, source,
+               cast(unnest(range(0, copies)) as bigint) as copy
+        from k where copies > 0
     """
 
     return o
