@@ -1554,6 +1554,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_rebalance"] = source_rebalance
 
+    def gopher_flags(spark, sf):
+        """Gopher composite quality filter over the SAME planted
+        repetition text as repetition_stats (doc_id % 3 == 0 docs carry
+        a duplicated 40-char line): at sf0.01, 11 docs fail the word
+        floor and 12 the dup-line rule — non-vacuous both ways."""
+        from information_extraction_t5_spark.operators.quality import (
+            gopher_filter,
+        )
+
+        return gopher_filter(_planted_repetition(spark, sf),
+                             text_col="ptext")
+
+    q["gopher_flags"] = gopher_flags
+
     # ---- driver-gate rotation (VERDICT r2 item 1; r3 item 2; r4 item 2) ----
     # The driver's correctness file caps at the FIRST 50 entries, so the
     # window rotates every round: the entries that sat OUTSIDE the
@@ -1576,7 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # net-new r5 operator gates lead alongside the rotated block
         "squad_conversion", "repetition_stats", "pii_redaction",
         "url_domains", "sequence_packing", "decontamination_flags",
-        "source_rebalance",
+        "source_rebalance", "gopher_flags",
     ]
     assert set(front) <= set(q), sorted(set(front) - set(q))
     rotated = {name: q[name] for name in front}
@@ -3193,6 +3207,58 @@ def oracle_sql() -> dict[str, str]:
         select doc_id, source,
                cast(unnest(range(0, copies)) as bigint) as copy
         from k where copies > 0
+    """
+
+    # gopher_flags: every rule divides integer sums, so the booleans are
+    # IEEE-exact on both engines; line/5-gram CTEs mirror
+    # repetition_stats' oracle over the same planted text.
+    o["gopher_flags"] = f"""
+        with p as (select doc_id, {_PTEXT_REP} as ptext from documents),
+        w as (select doc_id, length(ptext) as tl,
+                     string_split_regex(trim(ptext), '\\s+') as words
+              from p),
+        ws as (select doc_id, len(words) as n_words,
+                      case when len(words) = 0 then 0.0
+                           else cast(list_sum(list_transform(words,
+                                  x -> length(x))) as double) / len(words)
+                      end as mwl
+               from w),
+        l as (select doc_id, unnest(string_split(ptext, chr(10))) as line
+              from p),
+        lc as (select doc_id, line, count(*) as c, length(line) as ln
+               from l group by 1, 2, 4),
+        lagg as (select doc_id,
+                        case when sum(c * ln) = 0 then 0.0
+                             else cast(sum((c - 1) * ln) as double)
+                                  / sum(c * ln)
+                        end as dlcf
+                 from lc group by 1),
+        g5 as (select doc_id, tl,
+                      unnest(list_transform(range(1, len(words) - 3),
+                        i -> words[i] || ' ' || words[i + 1] || ' ' ||
+                             words[i + 2] || ' ' || words[i + 3] || ' ' ||
+                             words[i + 4])) as g
+               from w where len(words) >= 5),
+        g5c as (select doc_id, tl, g, count(*) as c, length(g) as gl
+                from g5 group by 1, 2, 3, 5),
+        d5 as (select doc_id,
+                      least(1.0, cast(coalesce(sum(case when c >= 2
+                              then c * gl end), 0) as double) / max(tl))
+                        as f
+               from g5c group by 1),
+        r as (select ws.doc_id, ws.n_words,
+                     ws.n_words between 20 and 100000 as words_ok,
+                     ws.mwl between 3.0 and 10.0 as mwl_ok,
+                     lagg.dlcf <= 0.20 as dup_line_ok,
+                     coalesce(d5.f, 0.0) <= 0.15 as dup_5gram_ok
+              from ws
+              join lagg on lagg.doc_id = ws.doc_id
+              left join d5 on d5.doc_id = ws.doc_id)
+        select doc_id, cast(n_words as bigint) as n_words,
+               words_ok, mwl_ok, dup_line_ok, dup_5gram_ok,
+               (words_ok and mwl_ok and dup_line_ok and dup_5gram_ok)
+                 as keep
+        from r
     """
 
     return o

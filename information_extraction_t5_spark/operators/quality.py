@@ -133,6 +133,53 @@ def repetition_stats(
     )
 
 
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_5gram_char_frac: float = 0.15,
+) -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021, table A1
+    subset): per-rule booleans plus the conjunction ``keep``.
+
+    One narrow map — every rule is a pure expression over this module's
+    repetition signals and simple word stats, so the filter runs at scan
+    speed and ``filter(keep)`` pushes into the same stage.  Rule
+    comparisons divide integers (counts, char totals), so the doubles are
+    IEEE-identical across engines and the booleans replay exactly in the
+    DuckDB oracle (the repo's integer-exact convention).
+    """
+    col = F.col(text_col)
+    words = _words(col)
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mwl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        word_chars.cast("double") / n_words
+    )
+    _, _, dup_line_cf = dup_line_stats(col)
+    dup5_cf = dup_ngram_char_frac(col, 5)
+    words_ok = (n_words >= min_words) & (n_words <= max_words)
+    mwl_ok = (mwl >= min_mwl) & (mwl <= max_mwl)
+    dup_line_ok = dup_line_cf <= max_dup_line_char_frac
+    dup_5gram_ok = dup5_cf <= max_dup_5gram_char_frac
+    return df.select(
+        id_col,
+        n_words.cast("bigint").alias("n_words"),
+        words_ok.alias("words_ok"),
+        mwl_ok.alias("mwl_ok"),
+        dup_line_ok.alias("dup_line_ok"),
+        dup_5gram_ok.alias("dup_5gram_ok"),
+        (words_ok & mwl_ok & dup_line_ok & dup_5gram_ok).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII
 # ---------------------------------------------------------------------------

@@ -194,3 +194,47 @@ def test_packing_invariants(spark):
     # no pack except oversized singletons exceeds the budget
     occ = pack_occupancy(packed, max_units=128).collect()
     assert all(0 < r["mean_fill"] <= 1.0 for r in occ)
+
+
+# ---------------------------------------------------------------------------
+# gopher composite filter
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_filter_rules(spark):
+    from information_extraction_t5_spark.operators.quality import (
+        gopher_filter,
+    )
+
+    long_ok = " ".join(f"word{i}" for i in range(30))
+    rows = [
+        (1, long_ok),                       # passes everything
+        (2, "too few words"),               # fails word floor
+        (3, long_ok + "\n" + long_ok),      # ~50% duplicated line chars
+        (4, " ".join(["a b c d e"] * 12)),  # duplicated 5-grams
+        (5, " ".join(["zz"] * 25)),         # mean word length 2 < 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert out[1]["keep"] and all(out[1][k] for k in
+                                  ("words_ok", "mwl_ok", "dup_line_ok",
+                                   "dup_5gram_ok"))
+    assert not out[2]["words_ok"] and not out[2]["keep"]
+    # repeated-line doc trips BOTH duplicate-content rules (the repeated
+    # words also repeat every 5-gram) but none of the word-shape rules
+    assert not out[3]["dup_line_ok"] and not out[3]["dup_5gram_ok"]
+    assert out[3]["words_ok"] and out[3]["mwl_ok"]
+    assert not out[4]["dup_5gram_ok"]
+    assert not out[5]["mwl_ok"] and out[5]["words_ok"]
+    assert out[5]["dup_line_ok"]  # single line, no line dup
+
+
+def test_gopher_plan_is_shuffle_and_python_free(spark):
+    from information_extraction_t5_spark.operators.quality import (
+        gopher_filter,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = _plan(gopher_filter(df).filter("keep"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
