@@ -161,3 +161,72 @@ def test_compact_streamed_triples_job_budget(spark, tmp_path):
         f"compact_streamed_triples now issues {n} blocking jobs "
         f"(budget {BUDGET_COMPACT})"
     )
+
+
+# measured 6: the benchmark-gram distinct + broadcast build, the hit
+# aggregation, the anti-join count (plus AQE stage jobs).  Constant in
+# corpus size — a creeping per-gram or per-doc action would blow it.
+BUDGET_DECONTAMINATE = 8
+# measured 9 with total=None (the targeted-total collect lineage) and 5
+# with an explicit total; the gap IS the documented cost of defaulting
+# total, so both shapes are pinned.
+BUDGET_REBALANCE_DEFAULT = 12
+BUDGET_REBALANCE_EXPLICIT = 7
+
+
+def _curation_docs(spark):
+    from pyspark.sql import functions as F
+
+    return spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("w"), (F.col("id") % 5).cast("string"),
+            F.lit(" some shared text body with many words "),
+            (F.col("id") % 7).cast("string"),
+            F.lit(" tail a b c d e f g h"),
+        ).alias("text"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))
+        .alias("source"),
+    ).localCheckpoint()
+
+
+def test_decontaminate_job_budget(spark):
+    from information_extraction_t5_spark.operators.decontaminate import (
+        decontaminate,
+    )
+
+    docs = _curation_docs(spark)
+    bench = docs.filter("doc_id % 37 = 0").localCheckpoint()
+    n = _grouped_jobs(
+        spark, "budget_decontaminate",
+        lambda: decontaminate(docs, bench, n=5).count(),
+    )
+    assert n <= BUDGET_DECONTAMINATE, (
+        f"decontaminate now issues {n} blocking jobs "
+        f"(budget {BUDGET_DECONTAMINATE})"
+    )
+
+
+def test_rebalance_job_budget(spark):
+    from information_extraction_t5_spark.operators.mixing import (
+        rebalance_sources,
+    )
+
+    docs = _curation_docs(spark)
+    n = _grouped_jobs(
+        spark, "budget_rebalance_default",
+        lambda: rebalance_sources(docs, {"s0": 2, "s1": 1}).count(),
+    )
+    assert n <= BUDGET_REBALANCE_DEFAULT, (
+        f"rebalance_sources(total=None) now issues {n} blocking jobs "
+        f"(budget {BUDGET_REBALANCE_DEFAULT})"
+    )
+    n = _grouped_jobs(
+        spark, "budget_rebalance_explicit",
+        lambda: rebalance_sources(docs, {"s0": 2, "s1": 1},
+                                  total=200).count(),
+    )
+    assert n <= BUDGET_REBALANCE_EXPLICIT, (
+        f"rebalance_sources(total=...) now issues {n} blocking jobs "
+        f"(budget {BUDGET_REBALANCE_EXPLICIT})"
+    )
