@@ -1568,6 +1568,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_flags"] = gopher_flags
 
+    def curation_v2(spark, sf):
+        """Capstone for the r5 curation layer — the three new operator
+        families composed end-to-end on RAW text: Gopher keep ->
+        benchmark decontamination (eval set = doc_id % 37 slice, n=8)
+        -> domain-mix rebalance (5:3:2 over src0/1/2, constant-size
+        re-mix of the surviving targeted docs).  The oracle chains the
+        three proven SQL blocks through CTEs, so the hash gate checks
+        the COMPOSITION, not just the parts."""
+        from information_extraction_t5_spark.operators.decontaminate import (
+            decontaminate,
+        )
+        from information_extraction_t5_spark.operators.mixing import (
+            rebalance_sources,
+        )
+        from information_extraction_t5_spark.operators.quality import (
+            gopher_filter,
+        )
+
+        d = _t(spark, sf, "documents")
+        kept = d.join(
+            gopher_filter(d).filter("keep").select("doc_id"), "doc_id"
+        )
+        bench = d.filter(F.col("doc_id") % 37 == 0)
+        clean = decontaminate(kept, bench, n=8)
+        out = rebalance_sources(
+            clean.select("doc_id", "source"),
+            {"src0": 5, "src1": 3, "src2": 2}, seed=7,
+        )
+        return out.select(
+            "doc_id", "source", F.col("copy").cast("bigint").alias("copy")
+        )
+
+    q["curation_v2"] = curation_v2
+
     # ---- driver-gate rotation (VERDICT r2 item 1; r3 item 2; r4 item 2) ----
     # The driver's correctness file caps at the FIRST 50 entries, so the
     # window rotates every round: the entries that sat OUTSIDE the
@@ -1590,7 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # net-new r5 operator gates lead alongside the rotated block
         "squad_conversion", "repetition_stats", "pii_redaction",
         "url_domains", "sequence_packing", "decontamination_flags",
-        "source_rebalance", "gopher_flags",
+        "source_rebalance", "gopher_flags", "curation_v2",
     ]
     assert set(front) <= set(q), sorted(set(front) - set(q))
     rotated = {name: q[name] for name in front}
@@ -3259,6 +3293,79 @@ def oracle_sql() -> dict[str, str]:
                (words_ok and mwl_ok and dup_line_ok and dup_5gram_ok)
                  as keep
         from r
+    """
+
+    # curation_v2: the three r5 curation blocks chained — gopher keep
+    # over RAW text, n=8 decontamination vs the doc_id%37 slice, then
+    # the 5:3:2 rebalance over the survivors (total = survivor count of
+    # the targeted sources, wsum = 10).
+    o["curation_v2"] = """
+        with w as (select doc_id, source, length(text) as tl,
+                          string_split_regex(trim(text), '\\s+') as words
+                   from documents),
+        l as (select doc_id, unnest(string_split(text, chr(10))) as line
+              from documents),
+        lc as (select doc_id, line, count(*) as c, length(line) as ln
+               from l group by 1, 2, 4),
+        lagg as (select doc_id,
+                        case when sum(c * ln) = 0 then 0.0
+                             else cast(sum((c - 1) * ln) as double)
+                                  / sum(c * ln)
+                        end as dlcf
+                 from lc group by 1),
+        g5 as (select doc_id, tl,
+                      unnest(list_transform(range(1, len(words) - 3),
+                        i -> words[i] || ' ' || words[i + 1] || ' ' ||
+                             words[i + 2] || ' ' || words[i + 3] || ' ' ||
+                             words[i + 4])) as g
+               from w where len(words) >= 5),
+        g5c as (select doc_id, tl, g, count(*) as c, length(g) as gl
+                from g5 group by 1, 2, 3, 5),
+        d5 as (select doc_id,
+                      least(1.0, cast(coalesce(sum(case when c >= 2
+                              then c * gl end), 0) as double) / max(tl))
+                        as f
+               from g5c group by 1),
+        kept as (select w.doc_id, w.source
+                 from w
+                 join lagg on lagg.doc_id = w.doc_id
+                 left join d5 on d5.doc_id = w.doc_id
+                 where len(w.words) between 20 and 100000
+                   and (case when len(w.words) = 0 then 0.0
+                             else cast(list_sum(list_transform(w.words,
+                                    x -> length(x))) as double)
+                                  / len(w.words) end) between 3.0 and 10.0
+                   and lagg.dlcf <= 0.20
+                   and coalesce(d5.f, 0.0) <= 0.15),
+        g8 as (select doc_id,
+                      unnest(list_transform(range(1, len(words) - 6),
+                        i -> array_to_string(list_slice(words, i, i + 7),
+                                             ' '))) as gram
+               from w where len(words) >= 8),
+        bg as (select distinct gram from g8 where doc_id % 37 = 0),
+        dirty as (select distinct g8.doc_id
+                  from g8 join bg using (gram)),
+        surv as (select kept.doc_id, kept.source
+                 from kept anti join dirty on dirty.doc_id = kept.doc_id),
+        t(source, tw) as (values ('src0', 5), ('src1', 3), ('src2', 2)),
+        c as (select source, count(*) as observed
+              from surv group by 1),
+        tot as (select sum(c.observed) as total
+                from c join t using (source)),
+        r as (select c.source,
+                     (select total from tot) * t.tw as num,
+                     10 * c.observed as den
+              from c join t using (source)),
+        k as (select surv.doc_id, surv.source,
+                     cast((num // den) + case when
+                        (('0x' || substring(md5(cast(surv.doc_id as
+                            varchar) || ':7'), 1, 8))::bigint + 1) * den
+                        < (num % den) * 4294967296 then 1 else 0 end
+                       as bigint) as copies
+              from surv join r using (source))
+        select doc_id, source,
+               cast(unnest(range(0, copies)) as bigint) as copy
+        from k where copies > 0
     """
 
     return o
