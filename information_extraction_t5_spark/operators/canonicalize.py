@@ -138,25 +138,27 @@ def connected_components_star(
     Spark's default 1g driver.  Raise it only with driver memory to match
     (bench.py runs with SPARK_DRIVER_MEM=24g); plumbed through
     ``PipelineConfig.cc_driver_threshold`` so deployments size it without
-    code changes.  The gate itself is a bounded probe
-    (``limit(threshold+1)``), not a full count, so at 10^12-turn scale it
-    early-exits instead of scanning the whole edge set.
+    code changes.  The gate is a single bounded ``limit(threshold+1)``
+    collect — probe and fetch fused into one job (CollectLimit evaluates
+    incrementally, so at 10^12-turn scale it early-exits instead of
+    scanning the whole edge set); the checkpoint is only paid on the
+    distributed fallback, whose map stages reuse the probe's shuffle files.
     """
-    e = _symmetric(edges, src, dst).localCheckpoint(eager=True)
+    sym = _symmetric(edges, src, dst)
 
-    if driver_threshold > 0 and (
-        e.limit(driver_threshold + 1).count() <= driver_threshold
-    ):
-        # schema mirrors the distributed path: node/component keep the
-        # edge columns' type (string ids in practice, but not assumed)
-        node_type = e.schema["a"].dataType
-        schema = T.StructType([
-            T.StructField("node", node_type, False),
-            T.StructField("component", node_type, False),
-        ])
-        pairs = [(r["a"], r["b"]) for r in e.collect()]
-        labels = _driver_union_find(pairs)
-        return e.sparkSession.createDataFrame(labels, schema)
+    if driver_threshold > 0:
+        probe = sym.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            # schema mirrors the distributed path: node/component keep the
+            # edge columns' type (string ids in practice, but not assumed)
+            node_type = sym.schema["a"].dataType
+            schema = T.StructType([
+                T.StructField("node", node_type, False),
+                T.StructField("component", node_type, False),
+            ])
+            labels = _driver_union_find([(r["a"], r["b"]) for r in probe])
+            return sym.sparkSession.createDataFrame(labels, schema)
+    e = sym.localCheckpoint(eager=True)
     nodes = e.select(F.col("a").alias("node")).distinct() \
         .localCheckpoint(eager=True)
 
@@ -256,9 +258,14 @@ def canonical_entities(
     comps = connected_components_star(edges, driver_threshold=driver_threshold)
     all_mentions = pairs.select("mention").distinct()
     if extra_edges is not None:
+        # mentions reachable only through extra edges: every endpoint of
+        # every edge is already a node in ``comps`` (both CC paths label
+        # all endpoints), so union THAT instead of re-deriving the edge
+        # frame — re-referencing ``extra_edges`` here made the final
+        # action re-execute the whole fuzzy-LSH chain a second time
+        # (~2s of sequential floor per run at bench scale; r6)
         all_mentions = (
-            all_mentions.union(extra_edges.select(F.col("src")))
-            .union(extra_edges.select(F.col("dst")))
+            all_mentions.union(comps.select(F.col("node").alias("mention")))
             .distinct()
         )
     return (

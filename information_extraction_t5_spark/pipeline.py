@@ -174,7 +174,11 @@ def fuzzy_name_edges(triples: DataFrame, max_dist: int = 3,
         # scheduling on partitions it doesn't need (8.9s vs 14.2s tail
         # wall at local[32]).  At cluster scale |distinct names| grows
         # past AQE's advisory bytes and the coalesce widens on its own.
-        .localCheckpoint(eager=True)
+        # Lazy checkpoint: still computed once and cached (three consumers
+        # — bucket build + both rerank joins — read the cache), but the
+        # materialization folds into the first consumer's job instead of
+        # paying a separate blocking mini-job (sequential-floor cut, r6).
+        .localCheckpoint(eager=False)
     )
     # 4 bands x 4 hashes: bucket-match threshold ~Jaccard 0.7 — tight
     # enough that word-sharing names don't flood the candidate set, loose
