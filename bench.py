@@ -61,6 +61,33 @@ def steal_wall_share(steal_cpu_sec: float) -> float:
     return steal_cpu_sec / max(os.cpu_count() or 1, 1)
 
 
+def wait_for_quiet(budget: dict, probe_sec: float = 5.0,
+                   threshold: float = 0.015, max_wait: float = 240.0,
+                   sleep_sec: float = 20.0) -> float:
+    """Bounded pre-flight wait for a quiet host window (r6).
+
+    r5's scaling pair burned its whole retry budget launching legs INTO
+    co-tenant bursts (all three 32-core legs saw 117-360 steal-cpu-s).
+    Cheaper than a wasted 2-minute leg: probe /proc/stat steal for a few
+    seconds first and hold the launch while the stolen share of total vCPU
+    capacity exceeds ``threshold``.  ``budget`` carries a mutable
+    ``{"left": seconds}`` shared across the pair so a permanently-loud
+    host degrades to the old behavior (launch anyway, report the steal)
+    instead of stalling the bench.  Returns seconds actually waited."""
+    waited = 0.0
+    ncpu = max(os.cpu_count() or 1, 1)
+    while True:
+        s0 = read_steal_seconds()
+        time.sleep(probe_sec)
+        frac = (read_steal_seconds() - s0) / (probe_sec * ncpu)
+        if frac <= threshold or budget["left"] <= 0 or waited >= max_wait:
+            return waited
+        wait = min(sleep_sec, budget["left"])
+        time.sleep(wait)
+        waited += wait + probe_sec
+        budget["left"] -= wait + probe_sec
+
+
 def run_leg_subprocess(cmd: list, env: dict, timeout: int = 3600) -> dict:
     """Run a bench subprocess leg and parse its one-line JSON result.
 
@@ -198,9 +225,17 @@ def run_kg_pipeline(spark, n_convs: int, cpus: int,
                                     model_tasks_per_core=cfg
                                     .model_tasks_per_core)).count()
 
+    # materialize the synthetic input BEFORE the timed window (r6): the
+    # benchmark measures the ENGINE, not the data generator — a real
+    # deployment reads transcripts from storage, so the per-partition
+    # Python synthesis cost (~2-4s at 256 partitions) is input prep, the
+    # same way TPC runs don't time dbgen.  localCheckpoint pins the exact
+    # 256-partition layout the scaling legs hold constant across core
+    # counts.  Protocol change vs r5: headline kg walls drop ~2-3s for
+    # measurement reasons, not engine speedups (BENCH/notes_r6.md).
     transcripts = synth.transcripts_df(
         spark, n_convs, partitions=partitions or max(4 * cpus, 16)
-    )
+    ).localCheckpoint(eager=True)
     samples, n = [], 0
 
     def one_run():
@@ -261,8 +296,12 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
     env = dict(os.environ, SPARK_DRIVER_MEM="24g")
 
     legs: dict = {}
+    # shared pre-flight wait budget across the whole pair (see
+    # wait_for_quiet): a loud host degrades to launch-anyway, never stalls
+    quiet_budget = {"left": 600.0}
 
     def leg(cpus: int) -> None:
+        wait_for_quiet(quiet_budget)
         parsed = run_leg_subprocess(
             [sys.executable, os.path.abspath(__file__),
              "--cpus", str(cpus), "--sf-dir", sf_dir, "--kg-only",
@@ -292,9 +331,13 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
     for _ in range(2):
         for cpus in (n_low, n_high):
             leg(cpus)
-    for cpus in (n_low, n_high):
+    # retry budget is asymmetric (r6): the 32-core leg needs the WHOLE
+    # host quiet and is ~4x cheaper per sample than the 8-core leg, so it
+    # gets the deeper hunt (r5 burned all 3 high legs on co-tenant bursts
+    # while the low leg was quiet on its first pass)
+    for cpus, cap in ((n_low, 3), (n_high, 5)):
         while needs_more_samples(legs[cpus], cpus,
-                                 min_samples=2, max_samples=3):
+                                 min_samples=2, max_samples=cap):
             leg(cpus)
     lo, hi = out[n_low], out[n_high]
     ratio = hi["triples_per_sec"] / lo["triples_per_sec"]
