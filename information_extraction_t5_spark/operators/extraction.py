@@ -332,6 +332,16 @@ class Seq2SeqExtractor:
         torch.set_num_threads(1)  # never oversubscribe executor cores
         self.tokenizer = AutoTokenizer.from_pretrained(model_name)
         self.model = AutoModelForSeq2SeqLM.from_pretrained(model_name).eval()
+        self.quantized = False
+        if not torch.cuda.is_available():
+            # CPU executors run the reference's dynamic int8 path
+            # (reference predict.py:44-47: quantize_dynamic over nn.Linear
+            # when no GPU) — on Spark this is the common case: wide CPU
+            # fleets, one quantized replica per Python worker
+            self.model = torch.quantization.quantize_dynamic(
+                self.model, {torch.nn.Linear}, dtype=torch.qint8
+            )
+            self.quantized = True
         self.num_beams = num_beams
         self.max_length = max_length
 
