@@ -3075,7 +3075,8 @@ def oracle_sql() -> dict[str, str]:
                  end as dup_line_char_frac
           from lc group by 1),
         w as (select doc_id, length(ptext) as tl,
-                     string_split_regex(trim(ptext), '\\s+') as words
+                     case when trim(ptext) = '' then cast([] as varchar[])
+                          else string_split_regex(trim(ptext), '\\s+') end as words
               from p),
         g2 as (select doc_id, tl,
                       unnest(list_transform(range(1, len(words)),
@@ -3196,7 +3197,8 @@ def oracle_sql() -> dict[str, str]:
     # over this vocabulary); count(distinct gram) == countDistinct(md5).
     o["decontamination_flags"] = """
         with w as (select doc_id,
-                          string_split_regex(trim(text), '\\s+') as words
+                          case when trim(text) = '' then cast([] as varchar[])
+                          else string_split_regex(trim(text), '\\s+') end as words
                    from documents),
         g as (select doc_id,
                      unnest(list_transform(range(1, len(words) - 6),
@@ -3215,9 +3217,14 @@ def oracle_sql() -> dict[str, str]:
 
     # source_rebalance: integer-rational keep test replayed over DuckDB
     # hugeints — copies = num//den + [ (h+1)*den < (num mod den)*2^32 ]
-    # with num = total*w, den = wsum*observed, h = md5(id:7) 32-bit
-    # prefix (the sampling._uniform draw).  total = sum of targeted
-    # sources' counts (constant-size re-mix), wsum = 10.
+    # with num = total*w, den = wsum*observed, h = md5(id:source:7)
+    # 32-bit prefix (the sampling._uniform draw, salted with source so
+    # per-source ids stay independent; ADVICE r5).  total = sum of
+    # targeted sources' counts (constant-size re-mix), wsum = 10.  The
+    # keep-test arithmetic is HUGEINT end-to-end: h1*den peaks near
+    # 2^32 * den and (num mod den)*2^32 near den*2^32 — BIGINT overflows
+    # once 10*observed approaches ~2e9 (ADVICE r5), hugeints match the
+    # Spark side's decimal(38,0) at any scale factor.
     o["source_rebalance"] = """
         with t(source, w) as (values ('src0', 5), ('src1', 3),
                               ('src2', 2)),
@@ -3231,11 +3238,13 @@ def oracle_sql() -> dict[str, str]:
               from c join t using (source)),
         d as (select doc_id, source,
                      ('0x' || substring(md5(cast(doc_id as varchar)
-                        || ':7'), 1, 8))::bigint + 1 as h1
+                        || ':' || source || ':7'), 1, 8))::bigint + 1 as h1
               from documents),
         k as (select d.doc_id, d.source,
-                     cast((num // den) + case when h1 * den <
-                        (num % den) * 4294967296 then 1 else 0 end
+                     cast((num // den) + case when
+                        h1::hugeint * den::hugeint <
+                        (num % den)::hugeint * 4294967296::hugeint
+                        then 1 else 0 end
                        as bigint) as copies
               from d join r using (source))
         select doc_id, source,
@@ -3249,7 +3258,8 @@ def oracle_sql() -> dict[str, str]:
     o["gopher_flags"] = f"""
         with p as (select doc_id, {_PTEXT_REP} as ptext from documents),
         w as (select doc_id, length(ptext) as tl,
-                     string_split_regex(trim(ptext), '\\s+') as words
+                     case when trim(ptext) = '' then cast([] as varchar[])
+                          else string_split_regex(trim(ptext), '\\s+') end as words
               from p),
         ws as (select doc_id, len(words) as n_words,
                       case when len(words) = 0 then 0.0
@@ -3301,7 +3311,8 @@ def oracle_sql() -> dict[str, str]:
     # the targeted sources, wsum = 10).
     o["curation_v2"] = """
         with w as (select doc_id, source, length(text) as tl,
-                          string_split_regex(trim(text), '\\s+') as words
+                          case when trim(text) = '' then cast([] as varchar[])
+                          else string_split_regex(trim(text), '\\s+') end as words
                    from documents),
         l as (select doc_id, unnest(string_split(text, chr(10))) as line
               from documents),
@@ -3359,8 +3370,10 @@ def oracle_sql() -> dict[str, str]:
         k as (select surv.doc_id, surv.source,
                      cast((num // den) + case when
                         (('0x' || substring(md5(cast(surv.doc_id as
-                            varchar) || ':7'), 1, 8))::bigint + 1) * den
-                        < (num % den) * 4294967296 then 1 else 0 end
+                            varchar) || ':' || surv.source || ':7'),
+                            1, 8))::bigint + 1)::hugeint * den::hugeint
+                        < (num % den)::hugeint * 4294967296::hugeint
+                        then 1 else 0 end
                        as bigint) as copies
               from surv join r using (source))
         select doc_id, source,

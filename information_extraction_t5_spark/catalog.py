@@ -12,16 +12,22 @@ partition count and input fingerprints — the per-partition lineage + metrics
 the north rule requires, committed atomically-enough for parquet (tmp dir +
 rename) and natively atomic under Iceberg.
 
-Explicit delta vs Iceberg-proper (r4; jars still absent from the sandbox):
-what IS exercised on the parquet fallback — stage skip/resume across JVMs
+Explicit delta vs Iceberg-proper (r6; jars still absent from the sandbox):
+the backend branch is now REAL code — ``_commit_iceberg`` does an atomic
+``writeTo(...).using('iceberg').createOrReplace()``, records the snapshot
+id + per-file row counts from the table's own metadata tables into the
+lineage sidecar, ``read``/``read_snapshot`` go through
+``spark.read.table`` (with ``snapshot-id`` time travel) — and
+``_detect_format`` selects it only when a ``spark.sql.catalog.<name>``
+conf is set AND the Iceberg runtime class loads (JVM reflection probe).
+What IS exercised here — stage skip/resume across JVMs
 (tests/test_submit.py poison-pill), lineage sidecars, partitioned layout
-with pruning (test_materialize_pruning), single-job commits.  What is NOT
-exercisable here — real snapshot ids, time travel / ``VERSION AS OF``,
-partition-spec evolution, hidden-partition transforms, and concurrent
-optimistic commits.  Wiring is a config change: register a
-``spark.sql.catalog.<name>`` SparkCatalog with a warehouse path and pass
-``fmt='iceberg'``; ``Catalog.write``/``stage`` paths already branch on the
-format string and nothing in the pipeline assumes file layout.
+with pruning (test_materialize_pruning), single-job commits, and the
+backend contract through a fake Iceberg store
+(tests/test_catalog_iceberg.py format matrix).  What still needs real
+jars — executing ``_commit_iceberg`` verbatim (snapshot/files metadata
+queries), partition-spec evolution, hidden-partition transforms, and
+concurrent optimistic commits.
 """
 from __future__ import annotations
 
@@ -48,18 +54,40 @@ class Catalog:
     """Warehouse of checkpointed stage tables."""
 
     def __init__(self, spark: SparkSession, warehouse: str,
-                 fmt: Optional[str] = None):
+                 fmt: Optional[str] = None, catalog_name: str = "iceberg",
+                 namespace: str = "kg"):
         self.spark = spark
         self.warehouse = warehouse
+        self.catalog_name = catalog_name
+        self.namespace = namespace
         self.fmt = fmt or self._detect_format()
         os.makedirs(warehouse, exist_ok=True)
 
     def _detect_format(self) -> str:
+        """'iceberg' only when BOTH a spark.sql.catalog.<name> conf is set
+        AND the Iceberg runtime class is actually loadable (r6: a conf
+        without jars previously selected a backend that would fail at
+        first write)."""
         try:
-            self.spark.conf.get("spark.sql.catalog.iceberg")
-            return "iceberg"
+            self.spark.conf.get(f"spark.sql.catalog.{self.catalog_name}")
         except Exception:
             return "parquet"
+        return "iceberg" if self._iceberg_runtime_present() else "parquet"
+
+    def _iceberg_runtime_present(self) -> bool:
+        """JVM reflection probe for the Iceberg SparkCatalog class —
+        cheap, no side effects, and mockable in the format-matrix test."""
+        try:
+            jvm = self.spark._jvm  # noqa: SLF001 - no public class probe
+            jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+            return True
+        except Exception:
+            return False
+
+    def _identifier(self, name: str) -> str:
+        return f"{self.catalog_name}.{self.namespace}.{name}"
 
     # -- paths -----------------------------------------------------------
     def path(self, name: str) -> str:
@@ -87,31 +115,22 @@ class Catalog:
         extra_lineage: Optional[dict] = None,
     ) -> StageCommit:
         t0 = time.time()
-        target = self.path(name)
-        tmp = target + ".__tmp__"
-        shutil.rmtree(tmp, ignore_errors=True)
-
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(tmp)
-
-        # Per-partition lineage from parquet FOOTERS (KBs of metadata per
-        # file), not a second scan of the data — at 100 TB a read-back
-        # groupBy would double checkpoint I/O.  One Spark job per commit
-        # (the write itself); pinned by tests/test_catalog_lineage.py.
-        part_counts = self._footer_row_counts(tmp)
+        if self.fmt == "iceberg":
+            part_counts, backend = self._commit_iceberg(
+                df, name, partition_by
+            )
+        else:
+            part_counts, backend = self._commit_parquet(
+                df, name, partition_by, mode
+            )
         rows = sum(part_counts)
         nparts = max(len(part_counts), 1)
         skew = {
             "partition_rows_min": min(part_counts, default=0),
             "partition_rows_max": max(part_counts, default=0),
             "partition_rows_mean": round(rows / nparts, 1),
+            **backend,
         }
-
-        if mode == "overwrite":
-            shutil.rmtree(target, ignore_errors=True)
-        os.replace(tmp, target)
 
         commit = StageCommit(
             name=name,
@@ -120,6 +139,10 @@ class Catalog:
             num_partitions=nparts,
             extra=extra_lineage or {},
         )
+        # the sidecar is the Catalog's OWN commit marker + metrics record,
+        # backend-independent (under Iceberg the table data lives in the
+        # Iceberg warehouse; this directory holds only the sidecar)
+        os.makedirs(self.path(name), exist_ok=True)
         with open(self._lineage_path(name), "w") as f:
             json.dump(
                 {
@@ -137,6 +160,65 @@ class Catalog:
                 f,
             )
         return commit
+
+    def _commit_parquet(self, df: DataFrame, name: str,
+                        partition_by: Optional[List[str]],
+                        mode: str):
+        """tmp-dir + rename parquet commit (atomic-enough for local/HDFS).
+
+        Per-partition lineage from parquet FOOTERS (KBs of metadata per
+        file), not a second scan of the data — at 100 TB a read-back
+        groupBy would double checkpoint I/O.  One Spark job per commit
+        (the write itself); pinned by tests/test_catalog_lineage.py."""
+        target = self.path(name)
+        tmp = target + ".__tmp__"
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+
+        part_counts = self._footer_row_counts(tmp)
+        if mode == "overwrite":
+            shutil.rmtree(target, ignore_errors=True)
+        os.replace(tmp, target)
+        return part_counts, {}
+
+    def _commit_iceberg(self, df: DataFrame, name: str,
+                        partition_by: Optional[List[str]]):
+        """Native Iceberg commit: createOrReplace is one atomic snapshot
+        swap (no tmp-dir dance needed), and the per-file row counts +
+        snapshot id come from the table's own metadata tables — the
+        manifest already carries what the parquet path digs out of
+        footers.  Requires the Iceberg runtime (detect_format gates on
+        it); exercised logic-level by tests/test_catalog_iceberg.py and
+        for real wherever the jars are on the classpath."""
+        ident = self._identifier(name)
+        self.spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS "
+            f"{self.catalog_name}.{self.namespace}"
+        )
+        writer = df.writeTo(ident).using("iceberg")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(
+                *[F.col(c) for c in partition_by]
+            )
+        writer.createOrReplace()
+        snap = self.spark.sql(
+            f"SELECT snapshot_id FROM {ident}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        files = self.spark.sql(
+            f"SELECT record_count FROM {ident}.files"
+        ).collect()
+        part_counts = [int(r[0]) for r in files]
+        return part_counts, {
+            "snapshot_id": int(snap[0][0]) if snap else None,
+            "iceberg_table": ident,
+        }
 
     @staticmethod
     def _footer_row_counts(root: str) -> List[int]:
@@ -156,7 +238,22 @@ class Catalog:
         return counts
 
     def read(self, name: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.table(self._identifier(name))
         return self.spark.read.parquet(self.path(name))
+
+    def read_snapshot(self, name: str, snapshot_id: int) -> DataFrame:
+        """Time travel (Iceberg only): read the table as of a committed
+        snapshot — e.g. the id recorded in a stage's lineage sidecar."""
+        if self.fmt != "iceberg":
+            raise NotImplementedError(
+                "time travel needs the Iceberg backend; the parquet "
+                "fallback keeps only the latest commit"
+            )
+        return (
+            self.spark.read.option("snapshot-id", int(snapshot_id))
+            .table(self._identifier(name))
+        )
 
     def lineage(self, name: str) -> dict:
         with open(self._lineage_path(name)) as f:

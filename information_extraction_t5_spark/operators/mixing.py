@@ -45,31 +45,42 @@ def source_rates(docs: DataFrame, targets: Dict[str, int],
     Sources absent from ``targets`` get rate 0 (dropped).  ``total``
     defaults to the input row count of the TARGETED sources, i.e. pure
     re-mixing at constant size.
+
+    A target naming a source with ZERO observed documents raises — the
+    requested mixture is unreachable, and silently renormalizing over the
+    present sources would skew every other share (ADVICE r5: a misspelled
+    source in ``targets`` previously vanished through the left join).
+
+    One blocking job regardless of ``total``: the per-source counts
+    (|sources| rows) are collected for validation and the rates frame is
+    rebuilt locally, so the corpus-wide scan happens exactly once and the
+    returned frame broadcasts for free.
     """
     if not targets:
         raise ValueError("targets must name at least one source")
     if any(w < 0 for w in targets.values()) or sum(targets.values()) == 0:
         raise ValueError("mixture parts must be >= 0 and sum > 0")
     wsum = sum(targets.values())
-    weights = docs.sparkSession.createDataFrame(
-        list(targets.items()), f"{source_col} string, _w long"
+    observed = {
+        r[0]: r[1]
+        for r in docs.groupBy(source_col).count().collect()
+    }
+    missing = sorted(
+        s for s, w in targets.items() if w > 0 and not observed.get(s)
     )
-    counts = docs.groupBy(source_col).count().withColumnRenamed(
-        "count", "observed"
-    )
-    rated = counts.join(F.broadcast(weights), source_col, "left")
+    if missing:
+        raise ValueError(
+            f"targets name sources with no observed documents: {missing} "
+            f"(observed sources: {sorted(observed)})"
+        )
     if total is None:
-        # tiny frame: one extra job over |sources| rows, not the corpus
-        total = (
-            rated.filter(F.col("_w").isNotNull())
-            .agg(F.sum("observed")).collect()[0][0]
-        ) or 0
-    return rated.select(
-        source_col,
-        "observed",
-        (F.lit(int(total)) * F.coalesce("_w", F.lit(0)))
-        .cast("bigint").alias("num"),
-        (F.lit(int(wsum)) * F.col("observed")).cast("bigint").alias("den"),
+        total = sum(n for s, n in observed.items() if targets.get(s))
+    rows = [
+        (s, int(n), int(total) * int(targets.get(s, 0)), int(wsum) * int(n))
+        for s, n in sorted(observed.items())
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows, f"{source_col} string, observed long, num long, den long"
     )
 
 
@@ -80,18 +91,30 @@ def rebalance_sources(docs: DataFrame, targets: Dict[str, int],
     """Resample ``docs`` to the target mixture; adds a ``copy`` column
     (0 for kept originals, 1.. for up-sampled repeats).
 
-    copies(row) = floor(num/den) + [u(id) < (num mod den)/den], so
+    copies(row) = floor(num/den) + [u(id, source) < (num mod den)/den], so
     E[output_s] = observed_s * num/den = total * weight_s / sum(weights)
     exactly, and the realized count concentrates tightly around it
     (sum of independent Bernoullis).
+
+    The draw is salted with ``source_col`` as well as ``id_col`` (ADVICE
+    r5): ids only need to be unique WITHIN a source — the same id in two
+    sources gets independent keep/repeat decisions.  Internal join
+    columns carry a ``__mix_`` prefix so user frames that already have
+    ``num``/``den``/``copy``-adjacent names can't collide.
     """
     rates = source_rates(docs, targets, total=total, source_col=source_col)
+    mix = rates.select(
+        source_col,
+        F.col("num").alias("__mix_num"),
+        F.col("den").alias("__mix_den"),
+    )
     dec = "decimal(38,0)"
     h1 = (
         F.conv(
             F.substring(
                 F.md5(F.concat_ws(
-                    ":", F.col(id_col).cast("string"), F.lit(str(seed))
+                    ":", F.col(id_col).cast("string"),
+                    F.col(source_col).cast("string"), F.lit(str(seed))
                 )),
                 1, 8,
             ),
@@ -99,21 +122,21 @@ def rebalance_sources(docs: DataFrame, targets: Dict[str, int],
         ).cast("bigint") + 1
     )
     copies = (
-        F.expr("num div den")
+        F.expr("__mix_num div __mix_den")
         + F.when(
-            (h1.cast(dec) * F.col("den").cast(dec))
-            < ((F.col("num") % F.col("den")).cast(dec)
+            (h1.cast(dec) * F.col("__mix_den").cast(dec))
+            < ((F.col("__mix_num") % F.col("__mix_den")).cast(dec)
                * F.lit(_TWO32).cast(dec)),
             F.lit(1),
         ).otherwise(F.lit(0))
     ).cast("int")
     return (
-        docs.join(F.broadcast(rates.drop("observed")), source_col, "inner")
-        .withColumn("_copies", copies)
-        .filter(F.col("_copies") > 0)
+        docs.join(F.broadcast(mix), source_col, "inner")
+        .withColumn("__mix_copies", copies)
+        .filter(F.col("__mix_copies") > 0)
         .select(
             *docs.columns,
-            F.explode(F.sequence(F.lit(0), F.col("_copies") - 1))
+            F.explode(F.sequence(F.lit(0), F.col("__mix_copies") - 1))
             .alias("copy"),
         )
     )

@@ -6,9 +6,10 @@ Spark-side contract (schema, batch shape, partitioning) is real and tested.
 Decode has three tiers (r4):
 
   - ``decode_stdlib`` — REAL decode for WAV (stdlib ``wave``), binary P6
-    PPM, and uncompressed 24bpp BMP (struct + numpy); no codec libraries
-    required.
-  - ``decode_real`` — injection point for full codecs (JPEG/PNG/MP4 via
+    PPM, uncompressed 24bpp BMP (struct + numpy), and non-interlaced
+    8-bit PNG (stdlib zlib + full filter reversal, r6); no codec
+    libraries required.
+  - ``decode_real`` — injection point for full codecs (JPEG/MP4 via
     PIL/soundfile/av); this container intentionally lacks them, so it
     raises NotImplementedError.
   - ``_fake_feature`` — the deterministic oracle-replayable stub the
@@ -96,7 +97,7 @@ def extract_features(
 
 
 def decode_real(payload: bytes, kind: str) -> list:
-    """Placeholder for a full codec path (JPEG/PNG/MP4/OGG...).
+    """Placeholder for a full codec path (JPEG/MP4/OGG...).
 
     Wire PIL.Image.open / soundfile.read / av frame sampling here; the
     container intentionally lacks these libraries.  Formats the standard
@@ -187,13 +188,105 @@ def _bmp_features(payload: bytes, dim: int) -> list:
     return [round(f, 6) for f in (feats + [0.0] * dim)[:dim]]
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)
+    over 8-bit samples.  Per-pixel Python loop — fine for feature probes;
+    a production image pipeline injects a real codec via decode_real."""
+    import numpy as np
+
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1: pos + 1 + stride])
+        pos += 1 + stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        cur = out[y]
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0      # left
+            b = prev[x]                             # up
+            c = prev[x - ch] if x >= ch else 0      # up-left
+            v = row[x]
+            if ftype == 0:
+                r = v
+            elif ftype == 1:
+                r = v + a
+            elif ftype == 2:
+                r = v + b
+            elif ftype == 3:
+                r = v + (a + b) // 2
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                r = v + pred
+            else:
+                raise NotImplementedError(f"PNG filter type {ftype}")
+            cur[x] = r & 0xFF
+    return out.reshape(h, w, ch)
+
+
+def _png_features(payload: bytes, dim: int) -> list:
+    """Real PNG decode via stdlib zlib: non-interlaced 8-bit grayscale /
+    gray+alpha / RGB / RGBA (color types 0/4/2/6).  Palette, 16-bit, and
+    interlaced PNGs stay on the codec injection point."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise NotImplementedError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), \
+            payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise NotImplementedError("truncated PNG")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} "
+            "outside the stdlib tier (inject a codec)"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(raw, w, h, channels)
+    flat = px.reshape(-1, channels).astype(np.float64)
+    if channels >= 3:
+        mean_rgb = flat[:, :3].mean(axis=0) / 255.0
+        alpha = float(flat[:, 3].mean() / 255.0) if channels == 4 else 1.0
+    else:
+        g = float(flat[:, 0].mean() / 255.0)
+        mean_rgb = (g, g, g)
+        alpha = float(flat[:, 1].mean() / 255.0) if channels == 2 else 1.0
+    feats = [float(w), float(h), w / max(h, 1), float(mean_rgb[0]),
+             float(mean_rgb[1]), float(mean_rgb[2]), alpha, 0.0]
+    return [round(f, 6) for f in (feats + [0.0] * dim)[:dim]]
+
+
 def decode_stdlib(payload: bytes, kind: str, dim: int = 8) -> list:
     """REAL decode for formats the standard library + numpy can parse —
     no codec libraries needed: WAV/PCM audio (stdlib ``wave``), binary
-    P6 PPM and uncompressed 24bpp BMP images (struct + numpy).  Features:
+    P6 PPM, uncompressed 24bpp BMP, and non-interlaced 8-bit PNG
+    (zlib inflate + full filter reversal).  Features:
     audio -> [duration_s, rate/48k, channels, rms, zero-cross rate, peak,
     Mframes, sample_width]; image -> [w, h, aspect, mean_r, mean_g,
-    mean_b, depth_scale, 0].  Anything else (JPEG/PNG/MP4...) raises
+    mean_b, depth_or_alpha, 0].  Anything else (JPEG/MP4...) raises
     NotImplementedError and stays the documented injection point."""
     p = payload or b""
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
@@ -202,13 +295,44 @@ def decode_stdlib(payload: bytes, kind: str, dim: int = 8) -> list:
         return _ppm_features(p, dim)
     if p[:2] == b"BM":
         return _bmp_features(p, dim)
+    if p[:8] == PNG_SIG:
+        return _png_features(p, dim)
     return decode_real(p, kind)
+
+
+def write_png(w: int, h: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Minimal PNG encoder (stdlib zlib, filter 0 rows) — deterministic
+    REAL payloads for the stdlib decode tier's tests/corpora.  ``pixels``
+    is row-major, ``channels`` in {1: gray, 2: gray+alpha, 3: RGB,
+    4: RGBA}."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    stride = w * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride: (y + 1) * stride] for y in range(h)
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
 
 
 def synthetic_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
     """Small media table whose payloads are REAL parseable files —
-    deterministic WAV sine tones, PPM gradients, BMP fills — plus one
-    undecodable payload per cycle to exercise the ok=False path."""
+    deterministic WAV sine tones, PPM gradients, BMP fills, PNG gradients
+    (r6) — plus one undecodable payload per cycle to exercise the
+    ok=False path."""
     import io
     import math as m
     import struct
@@ -216,7 +340,7 @@ def synthetic_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
 
     rows = []
     for i in range(n):
-        variant = i % 4
+        variant = i % 5
         if variant == 0:  # WAV: 16-bit mono sine, freq/length vary by i
             rate = 8000
             nframes = 400 + 40 * (i % 5)
@@ -254,6 +378,15 @@ def synthetic_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
                                     len(pix), 2835, 2835, 0, 0))
             payload = header + pix
             kind, meta = "image", (w_, h_, None, "bmp")
+        elif variant == 3:  # PNG: RGBA diagonal gradient (zlib-deflated)
+            w_, h_ = 6 + i % 5, 5 + i % 4
+            pixels = bytes(
+                b for y in range(h_) for x in range(w_)
+                for b in ((x * 37) % 256, (y * 53) % 256,
+                          ((x + y) * 29) % 256, 255 - (i % 64))
+            )
+            payload = write_png(w_, h_, pixels, channels=4)
+            kind, meta = "image", (w_, h_, None, "png")
         else:  # undecodable: exercises NotImplementedError -> ok=False
             payload = hashlib.sha256(f"{seed}:{i}".encode()).digest()
             kind, meta = "video", (None, None, 2000 + i, "mp4")

@@ -79,6 +79,33 @@ def test_bad_targets_raise(spark):
         source_rates(docs, {"a": 0})
 
 
+def test_missing_targeted_source_raises(spark):
+    # ADVICE r5: a misspelled/absent source in targets used to vanish
+    # through the left join and silently skew the whole mixture
+    docs = _docs(spark, per_source=10)
+    with pytest.raises(ValueError, match="no observed documents.*zz"):
+        source_rates(docs, {"a": 1, "zz": 1})
+    with pytest.raises(ValueError, match="zz"):
+        rebalance_sources(docs, {"a": 1, "zz": 1}, total=10)
+    # zero-weight entries are allowed to be absent (they ask for nothing)
+    assert source_rates(docs, {"a": 1, "zz": 0}).count() == 3
+
+
+def test_duplicate_ids_across_sources_draw_independently(spark):
+    # ADVICE r5: the keep draw is salted with source as well as id — the
+    # same id in two sources must flip independent coins.  At rate 1/2
+    # each, a correlated draw keeps every id in BOTH sources or NEITHER
+    # (zero ids kept exactly once); independent draws keep ~half once.
+    rows = [(i, s) for s in ("a", "b") for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = rebalance_sources(docs, {"a": 1, "b": 1}, total=400)
+    kept = out.groupBy("doc_id").count().collect()
+    once = sum(1 for r in kept if r["count"] == 1)
+    both = sum(1 for r in kept if r["count"] == 2)
+    assert once > 100          # correlated draws would give exactly 0
+    assert 40 < both < 180     # ~100 expected
+
+
 def test_plan_broadcasts_rates_no_corpus_shuffle(spark):
     docs = _docs(spark, per_source=50)
     out = rebalance_sources(docs, {"a": 3, "b": 1}, total=100)

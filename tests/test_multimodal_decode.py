@@ -73,9 +73,120 @@ def test_bmp_decode_features():
     assert f[5] == pytest.approx(30 / 255, abs=1e-5)
 
 
+def test_png_decode_rgb_means():
+    from information_extraction_t5_spark.operators.multimodal import write_png
+
+    w, h = 5, 3
+    pixels = bytes([40, 120, 220]) * (w * h)  # uniform RGB
+    f = decode_stdlib(write_png(w, h, pixels, channels=3), "image")
+    assert f[:3] == [5.0, 3.0, round(5 / 3, 6)]
+    assert f[3] == pytest.approx(40 / 255, abs=1e-5)
+    assert f[4] == pytest.approx(120 / 255, abs=1e-5)
+    assert f[5] == pytest.approx(220 / 255, abs=1e-5)
+    assert f[6] == 1.0  # no alpha channel -> opaque
+
+
+def test_png_decode_rgba_and_gray():
+    from information_extraction_t5_spark.operators.multimodal import write_png
+
+    # RGBA: alpha mean must land in slot 6
+    pixels = bytes([10, 20, 30, 128]) * 4
+    f = decode_stdlib(write_png(2, 2, pixels, channels=4), "image")
+    assert f[3] == pytest.approx(10 / 255, abs=1e-5)
+    assert f[6] == pytest.approx(128 / 255, abs=1e-5)
+    # grayscale: mean replicated across rgb slots
+    g = decode_stdlib(write_png(3, 1, bytes([200, 100, 0]), channels=1),
+                      "image")
+    assert g[3] == g[4] == g[5] == pytest.approx(100 / 255, abs=1e-5)
+
+
+def test_png_unfilters_all_filter_types():
+    """Scanlines filtered with Sub/Up/Average/Paeth must reconstruct the
+    original pixels — the test FORWARD-filters known rows per the PNG spec
+    and checks the decoder's means against the unfiltered truth."""
+    import struct
+    import zlib
+
+    from information_extraction_t5_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_features,
+    )
+
+    w, h, ch = 4, 4, 3
+    # deterministic non-uniform image
+    img = [[((x * 31 + y * 17 + c * 7) % 256) for c in range(ch)]
+           for y in range(h) for x in range(w)]
+    rows = [img[y * w: (y + 1) * w] for y in range(h)]
+
+    def flat(r):
+        return [b for px in r for b in px]
+
+    def forward(ftype, cur, prev):
+        c_, p_ = flat(cur), flat(prev)
+        out = []
+        for x, v in enumerate(c_):
+            a = c_[x - ch] if x >= ch else 0
+            b = p_[x]
+            cc = p_[x - ch] if x >= ch else 0
+            if ftype == 1:
+                out.append((v - a) % 256)
+            elif ftype == 2:
+                out.append((v - b) % 256)
+            elif ftype == 3:
+                out.append((v - (a + b) // 2) % 256)
+            else:  # paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else cc)
+                out.append((v - pred) % 256)
+        return bytes(out)
+
+    zero = [[0] * ch] * w
+    raw = b"\x01" + forward(1, rows[0], zero)
+    raw += b"\x02" + forward(2, rows[1], rows[0])
+    raw += b"\x03" + forward(3, rows[2], rows[1])
+    raw += b"\x04" + forward(4, rows[3], rows[2])
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    payload = (PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    f = _png_features(payload, 8)
+    want = [sum(px[c] for px in img) / len(img) / 255.0 for c in range(3)]
+    assert f[3] == pytest.approx(want[0], abs=1e-5)
+    assert f[4] == pytest.approx(want[1], abs=1e-5)
+    assert f[5] == pytest.approx(want[2], abs=1e-5)
+
+
 def test_undecodable_raises():
+    # a PNG signature with garbage chunks is NOT silently accepted
     with pytest.raises(NotImplementedError):
         decode_stdlib(b"\x89PNG\r\n\x1a\n....", "image")
+    # palette/16-bit/interlaced PNGs stay on the codec injection point
+    import struct
+    import zlib
+
+    from information_extraction_t5_spark.operators.multimodal import PNG_SIG
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    palette = (PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+               + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_stdlib(palette, "image")
+    with pytest.raises(NotImplementedError):
+        decode_stdlib(b"\x00\x01garbage", "video")
 
 
 def test_spark_stage_with_real_decoder(spark):

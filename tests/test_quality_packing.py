@@ -68,6 +68,32 @@ def test_repetition_degenerate(spark):
     assert rows[3]["dup_5gram_char_frac"] == 1.0
 
 
+def test_empty_text_word_split_oracle_parity(spark):
+    """ADVICE r5: DuckDB's string_split_regex(trim(''),'\\s+') yields ['']
+    where Spark-side _words yields [] — the oracle SQL now guards empty
+    text with an explicit CASE.  Pins both engines' behavior on the exact
+    fragment the gopher/repetition/curation oracles embed, so the guard
+    can't silently rot."""
+    import duckdb
+
+    from information_extraction_t5_spark.operators.quality import _words
+
+    # the raw divergence the guard exists for
+    raw = duckdb.sql(
+        r"select string_split_regex(trim(''), '\s+')").fetchone()[0]
+    assert raw == [""]
+    guarded = duckdb.sql(
+        r"""select case when trim(t) = '' then cast([] as varchar[])
+                   else string_split_regex(trim(t), '\s+') end
+            from (values (''), ('  '), ('a  b')) v(t)"""
+    ).fetchall()
+    assert [g[0] for g in guarded] == [[], [], ["a", "b"]]
+    # Spark side agrees row-for-row
+    df = spark.createDataFrame([("",), ("  ",), ("a  b",)], ["t"])
+    got = [r[0] for r in df.select(_words(F.col("t"))).collect()]
+    assert got == [[], [], ["a", "b"]]
+
+
 def test_repetition_plan_is_shuffle_and_python_free(spark):
     df = spark.createDataFrame([(1, "a\nb")], "doc_id int, text string")
     plan = _plan(repetition_stats(df))

@@ -47,6 +47,18 @@ def test_every_oracle_key_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_no_rows_only_queries():
+    """queries().keys() == oracle_sql().keys(), exactly (VERDICT r5 item
+    8): every driver-contract entry carries an oracle twin, so a new
+    operator can't silently land with only the weaker rows-only check,
+    and the parametrized sweep above covers the full set by
+    construction."""
+    assert ROWS_ONLY == [], (
+        "queries without an oracle twin (add oracle_sql entries): "
+        f"{ROWS_ONLY}"
+    )
+
+
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, duck, name):
     sdf = QUERIES[name](spark, SF).toPandas()

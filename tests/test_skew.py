@@ -51,6 +51,71 @@ def test_giant_conversation_bounded_by_max_windows(spark):
     assert all(r["window_id"] < cfg.window.max_windows for r in giant_rows)
 
 
+def test_hot_entity_linking_bounded(spark):
+    """A planted hot entity (VERDICT r5 item 6), both skew shapes:
+
+    (a) ~30% of mentions carry the SAME exact name — the fuzzy stage's
+        groupBy(name)->min(id) collapses them to ONE distinct-name row
+        before any LSH work, and the exact mention key makes a star the
+        distributed CC contracts in one round; asserts all hot convs
+        land in one canonical entity with cc_driver_threshold=0 (forced
+        distributed path).
+    (b) a flood of NEAR-IDENTICAL distinct name variants — their shared
+        LSH buckets exceed max_bucket and are dropped BEFORE the
+        quadratic self-join; asserts the capped candidate-pair count is
+        orders of magnitude below the uncapped all-pairs explosion
+        (the 100 TB bound: per-bucket work is O(max_bucket^2), never
+        O(|hot family|^2))."""
+    from information_extraction_t5_spark.operators.canonicalize import (
+        canonical_entities,
+    )
+    from information_extraction_t5_spark.operators.linking import (
+        lsh_candidate_pairs,
+    )
+
+    # --- shape (a): exact-duplicate hot name over 30% of mentions ------
+    n, hot = 2000, 600
+    rows = []
+    for i in range(n):
+        name = ("nome=HOT PERSON DA SILVA" if i < hot
+                else f"nome=PESSOA {i:06d} COMUM")
+        rows.append((f"conv_{i:06d}", name))
+    mentions = spark.createDataFrame(rows, ["conv_id", "mention_key"])
+    mapping = canonical_entities(
+        mentions, "conv_id", "mention_key", driver_threshold=0
+    )
+    canon = {
+        r["mention"]: r["canonical_id"] for r in mapping.collect()
+    }
+    hot_ids = {canon[f"conv_{i:06d}"] for i in range(hot)}
+    assert hot_ids == {"conv_000000"}  # one entity, min-id rep
+    cold_ids = {canon[f"conv_{i:06d}"] for i in range(hot, n)}
+    assert len(cold_ids) == n - hot   # no accidental merges
+
+    # --- shape (b): near-identical variants flood one bucket family ----
+    base = "maria aparecida dos santos oliveira"
+    variants = [
+        (i, base[:j] + c + base[j + 1:])
+        for i, (j, c) in enumerate(
+            (j, c) for j in range(len(base)) for c in "abcdefgh"
+        )
+    ][:256]
+    names = spark.createDataFrame(variants, ["id", "name"])
+    capped = lsh_candidate_pairs(
+        names, "id", "name", n_hashes=16, bands=4, k=3, max_bucket=16
+    ).count()
+    uncapped = lsh_candidate_pairs(
+        names, "id", "name", n_hashes=16, bands=4, k=3, max_bucket=None
+    ).count()
+    # all-pairs would be ~256^2/2 = 32k: the variants are near-identical,
+    # so uncapped LSH puts most of them in shared buckets
+    assert uncapped > 10_000
+    # capped: surviving buckets have <= 16 members -> per-bucket work is
+    # C(16,2); the hot family's mega-buckets are dropped entirely
+    assert capped < uncapped / 10
+    assert capped < 5_000
+
+
 def test_ivf_cell_join_aqe_skew_split(spark):
     """A deliberately dense IVF cell (≈80% of right rows) must be split by
     AQE's skew-join handling, not processed as one straggler task
