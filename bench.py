@@ -127,6 +127,51 @@ def read_steal_seconds() -> float:
         return 0.0
 
 
+def memory_canary_gbps(size_mb: int = 256, repeats: int = 4) -> float:
+    """Measured DRAM copy bandwidth (GB/s, read+write) — the canary for
+    co-tenant MEMORY contention, the interference /proc/stat steal cannot
+    see (r4 notes: identical legs 90.4s vs 73.0s at 2% visible steal; r6:
+    high legs 100-136s at 1.6% steal minutes after 73.7s legs at 9%).
+    A big single-stream copy collapses measurably when a neighbor
+    saturates the memory controller.  ~0.5s per call; measured once per
+    timed sample and embedded in the record, and a sample whose canary
+    is <80% of the best observed in its hunt is treated like a dirty
+    window and retried."""
+    import numpy as np
+
+    a = np.ones(size_mb * 1024 * 1024 // 8, dtype=np.float64)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # touch pages once, untimed
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        np.copyto(b, a)
+    dt = time.perf_counter() - t0
+    return round(2 * size_mb * repeats / 1024.0 / max(dt, 1e-9), 2)
+
+
+CANARY_CONTENTION_RATIO = 0.8
+
+
+def _canaries(samples: list) -> list:
+    return [s[2] for s in samples if len(s) > 2 and s[2]]
+
+
+def sample_canary_ok(samples: list, idx: int,
+                     canary_ref: float = None) -> bool:
+    """True when sample ``idx``'s bandwidth canary is within
+    CANARY_CONTENTION_RATIO of the best canary observed (or when canaries
+    aren't recorded — old 2-tuple callers/tests).  ``canary_ref`` widens
+    the reference beyond this hunt's own samples — scaling_pair passes
+    the best canary across BOTH legs, so a fully-contended window can't
+    self-normalize (every sample low -> within-hunt ratio trivially
+    passes)."""
+    cs = _canaries(samples)
+    ref = max(cs + ([canary_ref] if canary_ref else []), default=None)
+    if ref is None or len(samples[idx]) < 3 or not samples[idx][2]:
+        return True
+    return samples[idx][2] >= CANARY_CONTENTION_RATIO * ref
+
+
 def best2_dispersion(walls: list) -> float:
     """Relative gap between the two LOWEST walls — the reproducibility
     signal.  Unlike max-min spread this can recover as more samples
@@ -145,41 +190,56 @@ def keep_sample(samples: list) -> int:
                key=lambda i: samples[i][0] - steal_wall_share(samples[i][1]))
 
 
-def sample_quality(samples: list, cpus: int) -> dict:
+def sample_quality(samples: list, cpus: int,
+                   canary_ref: float = None) -> dict:
     """Window-quality record for a list of (wall, steal_cpu_sec) samples —
     embedded in the bench JSON so the driver artifact alone distinguishes
     'engine slower' from 'host busier' (VERDICT r4 item 3).
 
     quiet: the KEPT sample saw <2% steal on the pessimistic concentrated
-    bound.  reproduced: the two lowest walls agree within 10% (the
-    memory-bandwidth-contention signature /proc/stat steal can't see)."""
+    bound AND its memory-bandwidth canary is within 20% of the hunt's
+    best (r6 — bandwidth contention is the interference steal can't
+    see).  reproduced: the two lowest walls agree within 10%."""
     walls = [s[0] for s in samples]
     k = keep_sample(samples)
-    wall, steal = samples[k]
+    wall, steal = samples[k][0], samples[k][1]
     frac = steal / max(cpus * wall, 1e-9)
     disp = best2_dispersion(walls)
-    return {
+    out = {
         "kept_sample": k,
         "kept_steal_frac": round(frac, 4),
         "best2_dispersion": round(disp, 4),
-        "quiet": frac <= 0.02,
+        "quiet": frac <= 0.02 and sample_canary_ok(samples, k,
+                                                   canary_ref),
         "reproduced": len(samples) >= 2 and disp <= 0.10,
         "samples": [
-            {"wall": round(w, 3), "steal_cpu_sec": round(s, 1)}
-            for w, s in samples
+            {
+                "wall": round(s[0], 3),
+                "steal_cpu_sec": round(s[1], 1),
+                **({"canary_gbps": s[2]} if len(s) > 2 and s[2] else {}),
+            }
+            for s in samples
         ],
     }
+    cs = _canaries(samples)
+    if cs:
+        out["kept_canary_gbps"] = (samples[k][2]
+                                   if len(samples[k]) > 2 else None)
+        out["best_canary_gbps"] = max(cs)
+    return out
 
 
 def needs_more_samples(samples: list, cpus: int, min_samples: int = 2,
-                       max_samples: int = 3) -> bool:
+                       max_samples: int = 3,
+                       canary_ref: float = None) -> bool:
     """Bounded quiet-window hunt: keep sampling until the kept sample is
-    quiet AND reproduced, or the retry budget is exhausted."""
+    quiet AND reproduced, or the retry budget is exhausted.  quiet
+    includes the bandwidth-canary check against ``canary_ref`` (r6)."""
     if len(samples) < min_samples:
         return True
     if len(samples) >= max_samples:
         return False
-    q = sample_quality(samples, cpus)
+    q = sample_quality(samples, cpus, canary_ref)
     return not (q["quiet"] and q["reproduced"])
 
 
@@ -240,11 +300,12 @@ def run_kg_pipeline(spark, n_convs: int, cpus: int,
 
     def one_run():
         nonlocal n
+        canary = memory_canary_gbps()
         s0 = read_steal_seconds()
         t0 = time.time()
         n = run_pipeline(spark, transcripts, cfg).count()
         dt = time.time() - t0
-        samples.append((dt, max(read_steal_seconds() - s0, 0.0)))
+        samples.append((dt, max(read_steal_seconds() - s0, 0.0), canary))
 
     if hunt_max > 0:
         while needs_more_samples(samples, cpus, min_samples=min(2, hunt_max),
@@ -310,7 +371,8 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
             env,
         )
         legs.setdefault(cpus, []).append(
-            (parsed["value"], parsed["steal_cpu_sec"])
+            (parsed["value"], parsed["steal_cpu_sec"],
+             parsed.get("canary_gbps"))
         )
         if (cpus not in out
                 or parsed["value_steal_corrected"]
@@ -335,9 +397,15 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
     # host quiet and is ~4x cheaper per sample than the 8-core leg, so it
     # gets the deeper hunt (r5 burned all 3 high legs on co-tenant bursts
     # while the low leg was quiet on its first pass)
+    def best_canary() -> float:
+        cs = [s[2] for lst in legs.values() for s in lst
+              if len(s) > 2 and s[2]]
+        return max(cs, default=None)
+
     for cpus, cap in ((n_low, 3), (n_high, 5)):
         while needs_more_samples(legs[cpus], cpus,
-                                 min_samples=2, max_samples=cap):
+                                 min_samples=2, max_samples=cap,
+                                 canary_ref=best_canary()):
             leg(cpus)
     lo, hi = out[n_low], out[n_high]
     ratio = hi["triples_per_sec"] / lo["triples_per_sec"]
@@ -366,8 +434,10 @@ def scaling_pair(sf_dir: str, n_low: int = 8, n_high: int = 32,
         "efficiency_corrected": round(ratio_c / (n_high / n_low), 3),
         # full per-leg sample record + kept index so the efficiency
         # number is self-describing (VERDICT r4 item 3)
-        "low_window_quality": sample_quality(legs[n_low], n_low),
-        "high_window_quality": sample_quality(legs[n_high], n_high),
+        "low_window_quality": sample_quality(legs[n_low], n_low,
+                                             best_canary()),
+        "high_window_quality": sample_quality(legs[n_high], n_high,
+                                              best_canary()),
     }
 
 
@@ -386,7 +456,8 @@ def bench_once(sf_dir: str, cpus: int, with_scaling: bool = True) -> dict:
         spark, n_convs, cpus, hunt_max=4
     )
     kg_quality = sample_quality(kg_samples, cpus)
-    kg_sec, kg_steal = kg_samples[kg_quality["kept_sample"]]
+    _kept = kg_samples[kg_quality["kept_sample"]]
+    kg_sec, kg_steal = _kept[0], _kept[1]
     times["kg_pipeline"] = round(kg_sec, 3)
 
     # headline queries: best of two, per-query samples recorded (the r4
@@ -571,7 +642,8 @@ def main():
             partitions=args.partitions, repeats=args.repeats,
         )
         quality = sample_quality(samples, args.cpus)
-        kg_sec, steal = samples[quality["kept_sample"]]
+        kept = samples[quality["kept_sample"]]
+        kg_sec, steal = kept[0], kept[1]
         corrected = max(kg_sec - steal_wall_share(steal), 0.001)
         print(json.dumps({
             "metric": "kg_pipeline_sec",
@@ -589,6 +661,9 @@ def main():
             "steal_cpu_sec": round(steal, 1),
             "value_steal_corrected": round(corrected, 3),
             "triples_per_sec_corrected": round(n_triples / corrected, 2),
+            # kept sample's DRAM-copy bandwidth: the contention signal
+            # steal can't see, consumed by scaling_pair's retry logic
+            "canary_gbps": kept[2] if len(kept) > 2 else None,
             "window_quality": quality,
         }))
         return

@@ -6,10 +6,12 @@ exact, f1, prob) — and writes one xlsx sheet per class (reference:
 models/qa_model.py:388-436).  Spark-side the pivot is a distributed
 groupBy().pivot(); only the final write chooses a format:
 
-  - openpyxl present  -> one workbook, one sheet per class (reference
-    parity artifact);
-  - otherwise         -> one CSV per class under ``out_dir`` (same frames,
-    dependency-free — this sandbox's path).
+  - default ('xlsx')  -> one workbook, one sheet per class (reference
+    parity artifact): openpyxl when importable, else the stdlib OOXML
+    writer in sources/xlsx.py (r6 — a REAL .xlsx with no dependencies,
+    closing the prior CSV-degradation gap);
+  - fmt='csv'         -> one CSV per class under ``out_dir`` (same
+    frames, plain-text artifact).
 
 The pivot itself never collects: at 100 TB you'd point the same frames at
 ``.write.parquet`` instead; the xlsx/CSV export is a human-report sink and
@@ -126,12 +128,18 @@ def write_class_report(
     label_col: str = "label",
     pred_col: str = "prediction",
     prob_col: str = "prob",
+    fmt: Optional[str] = None,
 ) -> Dict[str, str]:
     """Materialize the per-class sheet artifact; returns {class: file path}.
 
-    Uses openpyxl (one workbook, one sheet per class) when importable,
-    CSV-per-class otherwise — the frames are identical either way.
+    ``fmt``: 'xlsx' (one workbook, one sheet per class — the reference
+    artifact, models/qa_model.py:388-436), 'csv' (one file per class), or
+    None = xlsx.  The xlsx path needs NO third-party writer (r6): openpyxl
+    is used when importable, else the stdlib OOXML writer
+    (sources/xlsx.py) produces an equally readable workbook.
     """
+    if fmt not in (None, "xlsx", "csv"):
+        raise ValueError(f"fmt must be 'xlsx', 'csv' or None, got {fmt!r}")
     classes = [
         r["c"]
         for r in preds.select(class_of(example_col).alias("c"))
@@ -144,17 +152,20 @@ def write_class_report(
         for c in classes
     }
     os.makedirs(out_dir, exist_ok=True)
-    try:
-        import openpyxl  # noqa: F401
-        have_xlsx = True
-    except ImportError:
-        have_xlsx = False
 
     out: Dict[str, str] = {}
-    if have_xlsx:  # pragma: no cover - openpyxl absent in this sandbox
+    if fmt == "csv":
+        for c, frame in frames.items():
+            path = os.path.join(out_dir, f"{c}.csv")
+            write_frame_csv(frame, path)
+            out[c] = path
+        return out
+
+    path = os.path.join(out_dir, "outputs_sheet.xlsx")
+    try:  # pragma: no cover - openpyxl absent in this sandbox
+        import openpyxl  # noqa: F401
         import pandas as pd
 
-        path = os.path.join(out_dir, "outputs_sheet.xlsx")
         with pd.ExcelWriter(path, engine="openpyxl") as writer:
             for c, frame in frames.items():
                 frame.toPandas().to_excel(
@@ -162,9 +173,14 @@ def write_class_report(
                 )
                 out[c] = path
         return out
+    except ImportError:
+        pass
 
-    for c, frame in frames.items():
-        path = os.path.join(out_dir, f"{c}.csv")
-        write_frame_csv(frame, path)
-        out[c] = path
-    return out
+    from information_extraction_t5_spark.sources.xlsx import write_workbook
+
+    sheets = {
+        c: (frame.columns, [list(r) for r in frame.collect()])
+        for c, frame in frames.items()
+    }
+    write_workbook(path, sheets)
+    return {c: path for c in classes}

@@ -166,3 +166,76 @@ def test_needs_more_samples_bounds():
     assert bench.needs_more_samples(dirty, cpus)
     assert not bench.needs_more_samples(dirty + [(73.0, 205.0)], cpus,
                                         max_samples=3)
+
+
+# ---------------------------------------------------------------------------
+# memory-bandwidth canary (r6): the interference steal can't see
+# ---------------------------------------------------------------------------
+
+
+def test_canary_ok_passthrough_without_canaries():
+    # legacy 2-tuples and canary-less samples never block
+    assert bench.sample_canary_ok([(72.0, 0.1), (73.0, 0.2)], 0)
+    assert bench.sample_canary_ok([(72.0, 0.1, None)], 0)
+
+
+def test_canary_contended_sample_not_quiet():
+    # kept sample (lowest corrected wall) ran during a bandwidth dip:
+    # canary 6.0 vs best 10.0 -> below the 0.8 ratio -> quiet=False even
+    # though its visible steal is ~0
+    samples = [(100.0, 0.5, 10.0), (90.0, 0.4, 6.0)]
+    assert not bench.sample_canary_ok(samples, 1)
+    q = bench.sample_quality(samples, 32)
+    assert q["kept_sample"] == 1
+    assert q["quiet"] is False
+    assert q["kept_canary_gbps"] == 6.0
+    assert q["best_canary_gbps"] == 10.0
+    assert q["samples"][0]["canary_gbps"] == 10.0
+
+
+def test_canary_healthy_sample_stays_quiet():
+    samples = [(100.0, 0.5, 10.0), (90.0, 0.4, 9.5)]
+    q = bench.sample_quality(samples, 32)
+    assert q["kept_sample"] == 1 and q["quiet"] is True
+
+
+def test_canary_triggers_retry_in_pair(monkeypatch):
+    """A high leg whose kept sample is bandwidth-contended (low canary,
+    near-zero steal — the r6 observed failure: 100-136s legs at 1.6%
+    steal) must be retried like a dirty window."""
+    script = {
+        8: [(240.0, 0.5, 10.0), (241.0, 0.4, 10.1)],
+        32: [(100.0, 0.5, 6.0), (101.0, 0.4, 6.1), (72.0, 0.3, 10.0),
+             (72.5, 0.3, 10.2)],
+    }
+    calls = {"per_level": {}}
+
+    def fake(cmd, env, timeout=3600):
+        cpus = int(cmd[cmd.index("--cpus") + 1])
+        idx = calls["per_level"].get(cpus, 0)
+        calls["per_level"][cpus] = idx + 1
+        wall, steal, canary = script[cpus][min(idx, len(script[cpus]) - 1)]
+        corrected = max(wall - bench.steal_wall_share(steal), 0.001)
+        return {
+            "value": wall,
+            "steal_cpu_sec": steal,
+            "canary_gbps": canary,
+            "value_steal_corrected": round(corrected, 3),
+            "triples_per_sec": round(1000.0 / wall, 2),
+            "triples_per_sec_corrected": round(1000.0 / corrected, 2),
+        }
+
+    monkeypatch.setattr(bench, "run_leg_subprocess", fake)
+    _no_preflight(monkeypatch)
+    s = bench.scaling_pair("/tmp/sf", convs=100)
+    # the two contended 100s legs forced retries; the clean 72s pair wins
+    assert calls["per_level"][32] == 4
+    assert s["high_sec"] == 72.0
+    hq = s["high_window_quality"]
+    assert hq["quiet"] is True and hq["reproduced"] is True
+    assert hq["best_canary_gbps"] == 10.2
+
+
+def test_memory_canary_measures_positive_bandwidth():
+    g = bench.memory_canary_gbps(size_mb=32, repeats=2)
+    assert g > 0.5  # any real machine copies >0.5 GB/s

@@ -39,7 +39,8 @@ def test_pivoted_class_frame_values(spark):
 
 
 def test_write_class_report_round_trip(spark, tmp_path):
-    out = write_class_report(_preds(spark), str(tmp_path / "report"))
+    out = write_class_report(_preds(spark), str(tmp_path / "report"),
+                             fmt="csv")
     assert set(out) == {"matriculas", "certidoes"}
     for cls, path in out.items():
         assert os.path.exists(path)
@@ -107,3 +108,66 @@ def test_pivot_typename_keeps_inner_dots(spark):
     got = pdf.set_index("document_id")
     assert got.loc["d1", "endereco.estado_prediction"] == "[UF]: SP"
     assert got.loc["d1", "estado_prediction"] == "[UF]: RJ"
+
+
+def test_xlsx_writer_round_trip_unit():
+    """Stdlib OOXML writer (sources/xlsx.py, r6): types, None cells,
+    escaping, sheet-name sanitization survive a write->read cycle."""
+    from information_extraction_t5_spark.sources.xlsx import (
+        col_letter,
+        read_workbook,
+        sanitize_sheet_name,
+        write_workbook,
+    )
+    import tempfile
+
+    assert [col_letter(i) for i in (1, 26, 27, 52, 703)] == [
+        "A", "Z", "AA", "AZ", "AAA"]
+    taken = set()
+    assert sanitize_sheet_name("a/b:c*d", taken) == "a_b_c_d"
+    assert sanitize_sheet_name("x" * 40, taken) == "x" * 31
+    assert sanitize_sheet_name("x" * 40, taken) == "x" * 29 + "~1"
+
+    with tempfile.NamedTemporaryFile(suffix=".xlsx") as f:
+        write_workbook(f.name, {
+            "s1": (["a", "b", "c"],
+                   [[1, None, "x & <y>"], [2.5, "ok", None],
+                    [True, -3, ""]]),
+            "s2": (["only"], [["linha com acentuação"]]),
+        })
+        back = read_workbook(f.name)
+    cols, rows = back["s1"]
+    assert cols == ["a", "b", "c"]
+    assert rows[0] == [1, None, "x & <y>"]
+    assert rows[1] == [2.5, "ok", None]
+    assert rows[2] == [True, -3, ""]
+    assert back["s2"][1] == [["linha com acentuação"]]
+
+
+def test_write_class_report_xlsx_default(spark, tmp_path):
+    """Default fmt writes ONE real workbook with a sheet per class —
+    no openpyxl in this sandbox, so this exercises the stdlib writer
+    end-to-end and reads the cells back."""
+    from information_extraction_t5_spark.sources.xlsx import read_workbook
+
+    out = write_class_report(_preds(spark), str(tmp_path / "report"))
+    paths = set(out.values())
+    assert len(paths) == 1
+    path = paths.pop()
+    assert path.endswith("outputs_sheet.xlsx") and os.path.exists(path)
+    book = read_workbook(path)
+    assert set(book) == {"matriculas", "certidoes"}
+    cols, rows = book["matriculas"]
+    frame = pivoted_class_frame(_preds(spark), "matriculas")
+    assert cols == frame.columns
+    byid = {r[0]: dict(zip(cols, r)) for r in rows}
+    assert byid["d2"]["nome_prediction"] == "[Nome]: Bia"
+    assert byid["d1"]["cpf_exact"] == 1
+    assert byid["d2"]["cpf_exact"] == 0
+
+
+def test_write_class_report_bad_fmt_raises(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_class_report(_preds(spark), str(tmp_path / "r"), fmt="ods")

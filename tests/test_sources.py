@@ -178,3 +178,52 @@ def test_convert_dataset_cli(spark, tmp_path):
     assert forced.filter(
         ~F.col("answer_text").rlike(r"^\[[^]]+\]: N/A$")
     ).count() == 0
+
+
+def test_distributed_raw_ingest_matches_driver_path(spark, tmp_path):
+    """read_raw_documents_distributed (executor-side parse, one task per
+    file) must produce exactly the driver-side shim's rows — over a
+    multi-file directory AND over the reference's own single fixture."""
+    import json
+
+    from information_extraction_t5_spark.sources.raw_json import (
+        read_raw_documents_distributed,
+    )
+
+    d = tmp_path / "rawdir"
+    d.mkdir()
+    files = {
+        "a.json": {
+            "doc_a1": {"text": "linha um\nlinha dois",
+                       "nome_completo": "ANA LIMA",
+                       "endereco": {"cidade": "Campinas", "estado": "SP"}},
+            "doc_a2": {"texto": "um texto", "cpf": "111.222.333-44"},
+        },
+        "b.json": {
+            "doc_b1": {"text": "outro documento",
+                       "nome_completo": "BOB REIS",
+                       "endereco": {"cep": "13000-000"}},
+        },
+    }
+    for fn, payload in files.items():
+        (d / fn).write_text(json.dumps(payload))
+
+    dist = read_raw_documents_distributed(spark, str(d))
+    # same rows as the driver path applied file-by-file
+    want = []
+    for fn in files:
+        want += sorted(
+            map(tuple, read_raw_documents(spark, str(d / fn)).collect())
+        )
+    got = sorted(map(tuple, dist.collect()))
+    assert got == sorted(want)
+    assert dist.columns == ["doc_id", "text", "fields", "endereco"]
+    # parallelism is per-file: the scan carries one task per input file
+    assert dist.rdd.getNumPartitions() >= 2
+
+    if os.path.exists(FIXTURE):
+        a = sorted(map(tuple,
+                       read_raw_documents(spark, FIXTURE).collect()))
+        b = sorted(map(tuple, read_raw_documents_distributed(
+            spark, FIXTURE).collect()))
+        assert a == b
