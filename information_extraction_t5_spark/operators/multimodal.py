@@ -279,15 +279,33 @@ def _png_features(payload: bytes, dim: int) -> list:
     return [round(f, 6) for f in (feats + [0.0] * dim)[:dim]]
 
 
+def _jpeg_features(payload: bytes, dim: int) -> list:
+    """Real baseline-JPEG decode (operators/jpeg.py: pure numpy Huffman +
+    dequant + IDCT + YCbCr).  Progressive/arithmetic streams raise and
+    stay on the injection point."""
+    from information_extraction_t5_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+    )
+
+    rgb = decode_baseline_jpeg(payload)
+    h, w = rgb.shape[:2]
+    mean = rgb.reshape(-1, 3).mean(axis=0) / 255.0
+    feats = [float(w), float(h), w / max(h, 1), float(mean[0]),
+             float(mean[1]), float(mean[2]), 1.0, 0.0]
+    return [round(f, 6) for f in (feats + [0.0] * dim)[:dim]]
+
+
 def decode_stdlib(payload: bytes, kind: str, dim: int = 8) -> list:
     """REAL decode for formats the standard library + numpy can parse —
     no codec libraries needed: WAV/PCM audio (stdlib ``wave``), binary
-    P6 PPM, uncompressed 24bpp BMP, and non-interlaced 8-bit PNG
-    (zlib inflate + full filter reversal).  Features:
+    P6 PPM, uncompressed 24bpp BMP, non-interlaced 8-bit PNG (zlib
+    inflate + full filter reversal), and baseline JPEG (r6: pure-numpy
+    Huffman/IDCT decoder, operators/jpeg.py).  Features:
     audio -> [duration_s, rate/48k, channels, rms, zero-cross rate, peak,
     Mframes, sample_width]; image -> [w, h, aspect, mean_r, mean_g,
-    mean_b, depth_or_alpha, 0].  Anything else (JPEG/MP4...) raises
-    NotImplementedError and stays the documented injection point."""
+    mean_b, depth_or_alpha, 0].  Anything else (MP4, progressive JPEG,
+    palette PNG...) raises NotImplementedError and stays the documented
+    injection point."""
     p = payload or b""
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return _wav_features(p, dim)
@@ -297,6 +315,8 @@ def decode_stdlib(payload: bytes, kind: str, dim: int = 8) -> list:
         return _bmp_features(p, dim)
     if p[:8] == PNG_SIG:
         return _png_features(p, dim)
+    if p[:2] == b"\xff\xd8":
+        return _jpeg_features(p, dim)
     return decode_real(p, kind)
 
 
@@ -340,7 +360,7 @@ def synthetic_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
 
     rows = []
     for i in range(n):
-        variant = i % 5
+        variant = i % 6
         if variant == 0:  # WAV: 16-bit mono sine, freq/length vary by i
             rate = 8000
             nframes = 400 + 40 * (i % 5)
@@ -387,6 +407,25 @@ def synthetic_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
             )
             payload = write_png(w_, h_, pixels, channels=4)
             kind, meta = "image", (w_, h_, None, "png")
+        elif variant == 4:  # baseline JPEG (4:2:0 + restarts on odd cycles)
+            import numpy as np
+
+            from information_extraction_t5_spark.operators.jpeg import (
+                encode_baseline_jpeg,
+            )
+
+            w_, h_ = 16 + 8 * (i % 3), 16 + 8 * (i % 2)
+            xs = np.linspace(0, 255, w_)
+            rgb = np.stack([
+                np.tile(xs, (h_, 1)),
+                np.full((h_, w_), float((i * 13) % 256)),
+                np.tile(xs[::-1], (h_, 1)),
+            ], axis=-1).astype(np.uint8)
+            payload = encode_baseline_jpeg(
+                rgb, subsample=bool(i % 2),
+                restart_interval=2 if i % 4 == 1 else 0,
+            )
+            kind, meta = "image", (w_, h_, None, "jpeg")
         else:  # undecodable: exercises NotImplementedError -> ok=False
             payload = hashlib.sha256(f"{seed}:{i}".encode()).digest()
             kind, meta = "video", (None, None, 2000 + i, "mp4")
