@@ -133,20 +133,29 @@ def memory_canary_gbps(size_mb: int = 256, repeats: int = 4) -> float:
     see (r4 notes: identical legs 90.4s vs 73.0s at 2% visible steal; r6:
     high legs 100-136s at 1.6% steal minutes after 73.7s legs at 9%).
     A big single-stream copy collapses measurably when a neighbor
-    saturates the memory controller.  ~0.5s per call; measured once per
+    saturates the memory controller.  ~1s per call; measured around each
     timed sample and embedded in the record, and a sample whose canary
     is <80% of the best observed in its hunt is treated like a dirty
-    window and retried."""
+    window and retried.
+
+    The returned value is the MAX over ``probes`` independent passes:
+    a single short probe is itself noisy (observed: 1.01 GB/s probe
+    immediately before the fastest 72.1s leg ever recorded — a transient
+    dip, not real leg-long contention), and any one clean probe proves
+    clean bandwidth was available at that moment."""
     import numpy as np
 
     a = np.ones(size_mb * 1024 * 1024 // 8, dtype=np.float64)
     b = np.empty_like(a)
     np.copyto(b, a)  # touch pages once, untimed
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        np.copyto(b, a)
-    dt = time.perf_counter() - t0
-    return round(2 * size_mb * repeats / 1024.0 / max(dt, 1e-9), 2)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            np.copyto(b, a)
+        dt = time.perf_counter() - t0
+        best = max(best, 2 * size_mb * repeats / 1024.0 / max(dt, 1e-9))
+    return round(best, 2)
 
 
 CANARY_CONTENTION_RATIO = 0.8
@@ -305,7 +314,12 @@ def run_kg_pipeline(spark, n_convs: int, cpus: int,
         t0 = time.time()
         n = run_pipeline(spark, transcripts, cfg).count()
         dt = time.time() - t0
-        samples.append((dt, max(read_steal_seconds() - s0, 0.0), canary))
+        steal = max(read_steal_seconds() - s0, 0.0)
+        # bracket the run: the window's bandwidth is the best of the
+        # before/after probes (a pre-run dip doesn't represent a 70-250s
+        # leg; contention that RAN THROUGH the leg shows in both)
+        canary = max(canary, memory_canary_gbps())
+        samples.append((dt, steal, canary))
 
     if hunt_max > 0:
         while needs_more_samples(samples, cpus, min_samples=min(2, hunt_max),
