@@ -97,7 +97,11 @@ def extract_features(
 
 
 def decode_real(payload: bytes, kind: str) -> list:
-    """Placeholder for a full codec path (JPEG/MP4/OGG...).
+    """Placeholder for a full FRAME-decode codec path (h264/h265/AAC
+    essence, progressive JPEG, OGG...).  Container metadata for MP4 is
+    real (operators/mp4.py); image/audio decode for WAV/PPM/BMP/PNG/
+    baseline-JPEG is real too — only compressed A/V essence needs an
+    injected library.
 
     Wire PIL.Image.open / soundfile.read / av frame sampling here; the
     container intentionally lacks these libraries.  Formats the standard
@@ -295,6 +299,23 @@ def _jpeg_features(payload: bytes, dim: int) -> list:
     return [round(f, 6) for f in (feats + [0.0] * dim)[:dim]]
 
 
+def _mp4_features(payload: bytes, dim: int) -> list:
+    """ISO-BMFF container metadata (operators/mp4.py): duration, video
+    dims, track mix — the routing/filter signals a curation pipeline
+    needs from video.  Frame decode stays on the injection point."""
+    from information_extraction_t5_spark.operators.mp4 import parse_mp4
+
+    meta = parse_mp4(payload)
+    vids = [t for t in meta["tracks"] if t["kind"] == "video"]
+    auds = [t for t in meta["tracks"] if t["kind"] == "audio"]
+    w = float(vids[0]["width"] or 0) if vids else 0.0
+    h = float(vids[0]["height"] or 0) if vids else 0.0
+    feats = [float(meta["duration_s"] or 0.0), w, h,
+             (w / h) if h else 0.0, float(len(vids)), float(len(auds)),
+             (meta["timescale"] or 0) / 1e5, 0.0]
+    return [round(f, 6) for f in (feats + [0.0] * dim)[:dim]]
+
+
 def decode_stdlib(payload: bytes, kind: str, dim: int = 8) -> list:
     """REAL decode for formats the standard library + numpy can parse —
     no codec libraries needed: WAV/PCM audio (stdlib ``wave``), binary
@@ -303,9 +324,10 @@ def decode_stdlib(payload: bytes, kind: str, dim: int = 8) -> list:
     Huffman/IDCT decoder, operators/jpeg.py).  Features:
     audio -> [duration_s, rate/48k, channels, rms, zero-cross rate, peak,
     Mframes, sample_width]; image -> [w, h, aspect, mean_r, mean_g,
-    mean_b, depth_or_alpha, 0].  Anything else (MP4, progressive JPEG,
-    palette PNG...) raises NotImplementedError and stays the documented
-    injection point."""
+    mean_b, depth_or_alpha, 0].  MP4/MOV containers parse to real
+    duration/dims/codec metadata (operators/mp4.py).  Anything else
+    (compressed A/V essence, progressive JPEG, palette PNG...) raises
+    NotImplementedError and stays the documented injection point."""
     p = payload or b""
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return _wav_features(p, dim)
@@ -317,6 +339,8 @@ def decode_stdlib(payload: bytes, kind: str, dim: int = 8) -> list:
         return _png_features(p, dim)
     if p[:2] == b"\xff\xd8":
         return _jpeg_features(p, dim)
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        return _mp4_features(p, dim)
     return decode_real(p, kind)
 
 
