@@ -3,15 +3,18 @@
 Images/audio/video ride as opaque ``binary`` columns with a metadata struct;
 decode/feature-extraction run as Arrow-batched mapInPandas stages.  The
 Spark-side contract (schema, batch shape, partitioning) is real and tested.
-Decode has three tiers (r4):
+Decode has three tiers (r4, extended r6):
 
-  - ``decode_stdlib`` — REAL decode for WAV (stdlib ``wave``), binary P6
-    PPM, uncompressed 24bpp BMP (struct + numpy), and non-interlaced
-    8-bit PNG (stdlib zlib + full filter reversal, r6); no codec
-    libraries required.
-  - ``decode_real`` — injection point for full codecs (JPEG/MP4 via
-    PIL/soundfile/av); this container intentionally lacks them, so it
-    raises NotImplementedError.
+  - ``decode_stdlib`` — REAL decode, no codec libraries required: WAV
+    (stdlib ``wave``), binary P6 PPM, uncompressed 24bpp BMP (struct +
+    numpy), non-interlaced 8-bit PNG (zlib + full filter reversal),
+    baseline JPEG incl. 4:2:0 + restart markers (pure-numpy codec,
+    operators/jpeg.py), and MP4/MOV container metadata — duration,
+    dims, codecs (operators/mp4.py).
+  - ``decode_real`` — injection point for compressed A/V essence
+    (h264/h265/AAC frames, progressive JPEG, OGG) via PIL/soundfile/av;
+    this container intentionally lacks them, so it raises
+    NotImplementedError.
   - ``_fake_feature`` — the deterministic oracle-replayable stub the
     driver correctness gate uses (sha256-of-hex so DuckDB can replay it).
 """
