@@ -1228,16 +1228,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def winnow_fingerprints(spark, sf):
         # rolling-hash winnowing fingerprints (MOSS): k-gram hashes ->
         # per-window minima -> sorted distinct selection, joined to a
-        # hash-able string
+        # hash-able string.  Two-projection form (r6): the hash array
+        # materializes before the window-min pass — the single-expression
+        # form re-evaluates the md5 subtree per window position inside
+        # the interpreted HOF lambda (O(n^2) per doc; 35+ min at sf0.1)
         d = _t(spark, sf, "documents")
-        fps = ts.winnowing_fingerprints(
-            F.substring(F.col("text"), 1, 300), k=5, w=4
-        )
-        return d.select(
-            "doc_id",
-            F.array_join(
-                F.transform(fps, lambda x: x.cast("string")), "|"
-            ).alias("fps"),
+        return (
+            ts.with_winnowing_fingerprints(
+                d, "text", k=5, w=4, out_col="__fps", max_chars=300
+            )
+            .select(
+                "doc_id",
+                F.array_join(
+                    F.transform(F.col("__fps"),
+                                lambda x: x.cast("string")), "|"
+                ).alias("fps"),
+            )
         )
     q["winnow_fingerprints"] = winnow_fingerprints
 

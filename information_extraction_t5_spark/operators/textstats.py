@@ -164,30 +164,79 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def winnowing_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
-    MOSS rolling-hash scheme) as pure expressions: hash every char k-gram
-    of the normalized text, slide a w-hash window, keep each window's
-    minimum; the sorted-distinct selection is the fingerprint set.
-
-    Guarantee: two documents sharing any substring of length >= w + k - 1
-    share at least one fingerprint — the local sampling makes the
-    fingerprint density ~2/(w+1) regardless of document length, so the
-    per-document payload stays O(len/w) at 100 TB.  md5-derived hashes
-    keep it engine-portable (oracle-replayable); swap xxhash64 in hot
-    paths.  Returns array<bigint>.
-    """
+def winnow_gram_hashes(col: Column, k: int = 5) -> Column:
+    """array<bigint> of md5-derived k-gram hashes of the normalized text
+    (the winnowing first pass).  md5 keeps it engine-portable
+    (oracle-replayable); swap xxhash64 in hot paths."""
     norm = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
     n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    hashes = F.transform(
+    return F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.conv(
             F.substring(F.md5(F.substring(norm, i, k)), 1, 8), 16, 10
         ).cast("bigint"),
     )
+
+
+def winnow_select_minima(hashes: Column, w: int = 4) -> Column:
+    """Sliding w-window minima -> sorted distinct fingerprint set.
+
+    ``hashes`` MUST be a materialized column reference (an attribute),
+    not an inline expression: Spark evaluates higher-order-function
+    lambdas on the interpreted path with NO common-subexpression
+    elimination across the lambda boundary, so an inline hash-array
+    expression here is re-computed once per window position — O(n^2)
+    md5 calls per document (found r6: a 300-char cap x 5000 docs took
+    35+ min in one task; the two-projection form takes seconds).
+    ``with_winnowing_fingerprints`` wires it correctly."""
     nw = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
     sel = F.transform(
         F.sequence(F.lit(1), nw),
         lambda j: F.array_min(F.slice(hashes, j, w)),
     )
     return F.array_sort(F.array_distinct(sel))
+
+
+def with_winnowing_fingerprints(df: DataFrame, text_col: str = "text",
+                                k: int = 5, w: int = 4,
+                                out_col: str = "fingerprints",
+                                max_chars: int = 0) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS rolling-hash scheme): hash every char k-gram, slide a w-hash
+    window, keep each window's minimum; the sorted-distinct selection is
+    the fingerprint set.
+
+    Guarantee: two documents sharing any substring of length >= w + k - 1
+    share at least one fingerprint — the local sampling makes the
+    fingerprint density ~2/(w+1) regardless of document length, so the
+    per-document payload stays O(len/w) at 100 TB.
+
+    Two separate projections by design: the gram-hash array materializes
+    as a real column before the window-min pass (CollapseProject keeps
+    non-cheap multiply-referenced aliases apart), which keeps the HOF
+    lambda O(w) per position instead of re-evaluating the whole hash
+    array — see winnow_select_minima.  ``max_chars`` > 0 caps the text
+    first (fingerprint-probe pattern)."""
+    c = F.col(text_col)
+    if max_chars:
+        c = F.substring(c, 1, max_chars)
+    step = df.withColumn("__wf_hashes", winnow_gram_hashes(c, k))
+    return (
+        step.withColumn(
+            out_col, winnow_select_minima(F.col("__wf_hashes"), w)
+        )
+        .drop("__wf_hashes")
+    )
+
+
+def winnowing_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
+    """Column-expression winnowing — ONLY for short/capped text.
+
+    WARNING (r6): as a single expression the window-min lambda
+    re-evaluates the whole gram-hash subtree per position (no CSE inside
+    interpreted HOF lambdas) — O(n^2) md5 calls per document.  Use
+    ``with_winnowing_fingerprints`` (two-projection form) anywhere the
+    text isn't tightly capped; this form is kept for expression-context
+    compatibility and small inputs."""
+    hashes = winnow_gram_hashes(col, k)
+    return winnow_select_minima(hashes, w)

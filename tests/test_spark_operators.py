@@ -338,6 +338,7 @@ def test_winnowing_shared_substring_guarantee(spark):
     none (with overwhelming probability)."""
     from information_extraction_t5_spark.operators.textstats import (
         winnowing_fingerprints,
+        with_winnowing_fingerprints,
     )
     from pyspark.sql import functions as F
 
@@ -353,10 +354,9 @@ def test_winnowing_shared_substring_guarantee(spark):
     df = spark.createDataFrame(rows, "doc_id int, text string")
     got = {
         r["doc_id"]: set(r["fps"])
-        for r in df.select(
-            "doc_id",
-            winnowing_fingerprints(F.col("text"), k=5, w=4).alias("fps"),
-        ).collect()
+        for r in with_winnowing_fingerprints(
+            df, "text", k=5, w=4, out_col="fps"
+        ).select("doc_id", "fps").collect()
     }
     assert got[1] & got[2], "shared substring must share a fingerprint"
     assert not (got[1] & got[3])
@@ -364,6 +364,15 @@ def test_winnowing_shared_substring_guarantee(spark):
     # density: selection is a small subset of all k-gram hashes
     n_grams = len(rows[0][1]) - 4
     assert len(got[1]) < n_grams / 2
+    # the expression form (short-text compatibility path) agrees exactly
+    expr_got = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id",
+            winnowing_fingerprints(F.col("text"), k=5, w=4).alias("fps"),
+        ).collect()
+    }
+    assert expr_got == got
 
 
 def test_weighted_sampling_bias_and_determinism(spark):
