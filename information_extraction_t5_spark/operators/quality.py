@@ -49,9 +49,13 @@ def _words(col: Column) -> Column:
     ).otherwise(F.split(F.trim(col), r"\s+"))
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """Space-joined word n-grams; empty array when there are < n words."""
-    words = _words(col)
+def word_ngrams_from(words: Column, n: int) -> Column:
+    """Space-joined word n-grams from a words ARRAY; empty array when
+    there are < n words.  Pass an attribute (materialized column): the
+    lambda slices ``words`` per position, and Spark evaluates HOF lambda
+    bodies on the interpreted path with no CSE — an inline split here
+    would re-split the text once per gram position (O(n^2); the r6
+    winnowing lesson, same mechanism)."""
     return F.when(
         F.size(words) >= n,
         F.transform(
@@ -61,75 +65,158 @@ def word_ngrams(col: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def dup_line_stats(col: Column) -> tuple[Column, Column, Column]:
-    """(n_lines, dup_line_frac, dup_line_char_frac) as pure expressions."""
-    lines = F.split(col, "\n")
+def word_ngrams(col: Column, n: int) -> Column:
+    """Compatibility wrapper over TEXT input — short/capped text only
+    (the inline words array is re-evaluated per gram position inside the
+    HOF lambda).  Scale path: materialize ``_words(col)`` as a column
+    and call ``word_ngrams_from``."""
+    return word_ngrams_from(_words(col), n)
+
+
+def _run_stats(items: Column) -> Column:
+    """struct<best:bigint, dup:bigint, extra:bigint> over array<string>
+    in ONE sorted pass: per distinct value v with count c and length L,
+    best = max(c*L), dup = sum(c*L | c >= 2), extra = sum((c-1)*L).
+
+    Replaces the nested count-by-filter form (size(filter(items, == v))
+    per distinct v — O(n^2) comparisons per document, and O(n^3)-ish
+    when ``items`` is itself an inline n-gram expression re-evaluated
+    inside the lambda).  Values are identical: both enumerate the same
+    (value, count) multiset."""
+    s = F.array_sort(items)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("extra"),
+    )
+
+    def _contrib(acc):
+        return acc["cnt"] * F.length(acc["prev"]).cast("long")
+
+    def _best(acc):
+        return F.greatest(acc["best"], _contrib(acc))
+
+    def _dup(acc):
+        return acc["dup"] + F.when(
+            acc["cnt"] >= 2, _contrib(acc)
+        ).otherwise(F.lit(0).cast("long"))
+
+    def _extra(acc):
+        return acc["extra"] + (
+            (acc["cnt"] - 1) * F.length(acc["prev"]).cast("long")
+        )
+
+    def merge(acc, g):
+        return F.when(
+            g == acc["prev"],
+            F.struct(
+                g.alias("prev"), (acc["cnt"] + 1).alias("cnt"),
+                acc["best"].alias("best"), acc["dup"].alias("dup"),
+                acc["extra"].alias("extra"),
+            ),
+        ).otherwise(
+            F.struct(
+                g.alias("prev"), F.lit(1).cast("long").alias("cnt"),
+                _best(acc).alias("best"), _dup(acc).alias("dup"),
+                _extra(acc).alias("extra"),
+            )
+        )
+
+    def finish(acc):
+        return F.struct(
+            _best(acc).alias("best"), _dup(acc).alias("dup"),
+            _extra(acc).alias("extra"),
+        )
+
+    return F.aggregate(s, zero, merge, finish)
+
+
+def dup_line_stats_from(lines: Column) -> tuple[Column, Column, Column]:
+    """(n_lines, dup_line_frac, dup_line_char_frac) from a materialized
+    lines ARRAY attribute — single sorted pass (see _run_stats)."""
     n = F.size(lines)
-    distinct = F.array_distinct(lines)
-    dup_frac = (n - F.size(distinct)).cast("double") / n
+    dup_frac = (n - F.size(F.array_distinct(lines))).cast("double") / n
     line_chars = F.aggregate(
         lines, F.lit(0), lambda acc, x: acc + F.length(x)
     )
-    extra_chars = F.aggregate(
-        distinct,
-        F.lit(0),
-        lambda acc, dl: acc
-        + (F.size(F.filter(lines, lambda x: x == dl)) - 1) * F.length(dl),
-    )
+    extra_chars = _run_stats(lines)["extra"]
     dup_char_frac = F.when(line_chars == 0, F.lit(0.0)).otherwise(
         extra_chars.cast("double") / line_chars
     )
     return n, dup_frac, dup_char_frac
 
 
-def top_ngram_char_frac(col: Column, n: int) -> Column:
-    """max over distinct n-grams of count*length, / text length."""
-    grams = word_ngrams(col, n)
-    dg = F.array_distinct(grams)
-    best = F.array_max(
-        F.transform(
-            dg,
-            lambda g: F.size(F.filter(grams, lambda x: x == g))
-            * F.length(g),
-        )
-    )
+def dup_line_stats(col: Column) -> tuple[Column, Column, Column]:
+    """Compatibility wrapper over TEXT input (single-use contexts)."""
+    return dup_line_stats_from(F.split(col, "\n"))
+
+
+def top_ngram_char_frac_from(grams: Column, text_len: Column) -> Column:
+    """max over distinct n-grams of count*length, / text length — from a
+    materialized grams array."""
+    best = _run_stats(grams)["best"]
     return F.when(
-        (F.size(dg) == 0) | (F.length(col) == 0), F.lit(0.0)
-    ).otherwise(best.cast("double") / F.length(col))
+        (F.size(grams) == 0) | (text_len == 0), F.lit(0.0)
+    ).otherwise(best.cast("double") / text_len)
+
+
+def top_ngram_char_frac(col: Column, n: int) -> Column:
+    """Compatibility wrapper (short text): see top_ngram_char_frac_from."""
+    return top_ngram_char_frac_from(word_ngrams(col, n), F.length(col))
+
+
+def dup_ngram_char_frac_from(grams: Column, text_len: Column) -> Column:
+    """sum over n-grams with count>=2 of count*length, / text length,
+    capped at 1.0 — from a materialized grams array."""
+    dup_chars = _run_stats(grams)["dup"]
+    return F.when(text_len == 0, F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), dup_chars.cast("double") / text_len)
+    )
 
 
 def dup_ngram_char_frac(col: Column, n: int) -> Column:
-    """sum over n-grams with count>=2 of count*length, / text length,
-    capped at 1.0."""
-    grams = word_ngrams(col, n)
-    dg = F.array_distinct(grams)
-    dup_chars = F.aggregate(
-        dg,
-        F.lit(0),
-        lambda acc, g: acc
-        + F.when(
-            F.size(F.filter(grams, lambda x: x == g)) >= 2,
-            F.size(F.filter(grams, lambda x: x == g)) * F.length(g),
-        ).otherwise(F.lit(0)),
-    )
-    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
-        F.least(F.lit(1.0), dup_chars.cast("double") / F.length(col))
-    )
+    """Compatibility wrapper (short text): see dup_ngram_char_frac_from."""
+    return dup_ngram_char_frac_from(word_ngrams(col, n), F.length(col))
 
 
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document repetition profile — one narrow map, no shuffle."""
+    """Per-document repetition profile — narrow maps, no shuffle.
+
+    Staged projections (r6): words/lines/grams materialize as real
+    columns before the stats that consume them, so every array is built
+    once per row — the single-projection form re-evaluated the split and
+    the n-gram construction inside HOF lambdas (no CSE there), going
+    quadratic-to-cubic in document length."""
     col = F.col(text_col)
-    n_lines, dup_line_frac, dup_line_char_frac = dup_line_stats(col)
-    return df.select(
+    step1 = df.select(
+        id_col,
+        F.length(col).alias("__q_len"),
+        _words(col).alias("__q_words"),
+        F.split(col, "\n").alias("__q_lines"),
+    )
+    step2 = step1.select(
+        id_col, "__q_len", "__q_lines",
+        word_ngrams_from(F.col("__q_words"), 2).alias("__q_g2"),
+        word_ngrams_from(F.col("__q_words"), 5).alias("__q_g5"),
+    )
+    n_lines, dup_line_frac, dup_line_char_frac = dup_line_stats_from(
+        F.col("__q_lines")
+    )
+    return step2.select(
         id_col,
         n_lines.cast("bigint").alias("n_lines"),
         F.round(dup_line_frac, 6).alias("dup_line_frac"),
         F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
-        F.round(top_ngram_char_frac(col, 2), 6).alias("top_2gram_char_frac"),
-        F.round(dup_ngram_char_frac(col, 5), 6).alias("dup_5gram_char_frac"),
+        F.round(
+            top_ngram_char_frac_from(F.col("__q_g2"), F.col("__q_len")), 6
+        ).alias("top_2gram_char_frac"),
+        F.round(
+            dup_ngram_char_frac_from(F.col("__q_g5"), F.col("__q_len")), 6
+        ).alias("dup_5gram_char_frac"),
     )
 
 
@@ -155,7 +242,19 @@ def gopher_filter(
     DuckDB oracle (the repo's integer-exact convention).
     """
     col = F.col(text_col)
-    words = _words(col)
+    # staged projections (r6): words/lines/grams are materialized columns
+    # so no array is rebuilt inside a HOF lambda (see repetition_stats)
+    step1 = df.select(
+        id_col,
+        F.length(col).alias("__q_len"),
+        _words(col).alias("__q_words"),
+        F.split(col, "\n").alias("__q_lines"),
+    )
+    step2 = step1.select(
+        id_col, "__q_len", "__q_lines", "__q_words",
+        word_ngrams_from(F.col("__q_words"), 5).alias("__q_g5"),
+    )
+    words = F.col("__q_words")
     n_words = F.size(words)
     word_chars = F.aggregate(
         words, F.lit(0), lambda acc, t: acc + F.length(t)
@@ -163,13 +262,13 @@ def gopher_filter(
     mwl = F.when(n_words == 0, F.lit(0.0)).otherwise(
         word_chars.cast("double") / n_words
     )
-    _, _, dup_line_cf = dup_line_stats(col)
-    dup5_cf = dup_ngram_char_frac(col, 5)
+    _, _, dup_line_cf = dup_line_stats_from(F.col("__q_lines"))
+    dup5_cf = dup_ngram_char_frac_from(F.col("__q_g5"), F.col("__q_len"))
     words_ok = (n_words >= min_words) & (n_words <= max_words)
     mwl_ok = (mwl >= min_mwl) & (mwl <= max_mwl)
     dup_line_ok = dup_line_cf <= max_dup_line_char_frac
     dup_5gram_ok = dup5_cf <= max_dup_5gram_char_frac
-    return df.select(
+    return step2.select(
         id_col,
         n_words.cast("bigint").alias("n_words"),
         words_ok.alias("words_ok"),
