@@ -127,19 +127,31 @@ def simhash64(col, n_bits: int = 64, hash_fn: str = "xxhash64"):
     else:
         hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def bit_acc(i: int):
-        # closure factory (extra lambda params would get index columns)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(1 << i)) != 0, 1
-        ).otherwise(-1)
-
-    bit_sums = [
-        F.aggregate(hashes, F.lit(0), bit_acc(i)) for i in range(n_bits)
-    ]
-    out = F.lit(0).cast("long")
-    for i, s in enumerate(bit_sums):
-        out = out + F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return out
+    # ONE aggregate pass with an n_bits-wide counter-array accumulator
+    # (r6).  The previous form ran n_bits separate aggregate() calls,
+    # and HOF lambdas have no CSE — ``hashes`` (an md5/xxhash64 per
+    # token) was re-evaluated once PER BIT: 32-64x wasted hashing per
+    # document.  The bit masks ride as a literal array (constant-folded,
+    # free inside the lambda).
+    masks = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(n_bits)]
+    )
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda c, m: c + F.when(h.bitwiseAND(m) != 0, 1)
+            .otherwise(-1),
+        ),
+    )
+    bit_values = F.zip_with(
+        counts, masks,
+        lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bit_values, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
 
 
 def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,

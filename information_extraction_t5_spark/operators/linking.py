@@ -116,8 +116,25 @@ def lsh_buckets(df: DataFrame, id_col: str, text_col: str,
                 fast: bool = False) -> DataFrame:
     """(id, band, band_key): one row per band; equal band_key => candidate."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(F.col(text_col), n_hashes, k, fast=fast)
-    out = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # materialize the shingle array BEFORE the n_hashes min-hash passes
+    # (r6): the signature references the shingles once per hash seed, and
+    # HOF lambdas have no CSE — an inline char_shingles here re-extracted
+    # every substring n_hashes times per row
+    step = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), k).alias("__lsh_sh"),
+    )
+    sh = F.col("__lsh_sh")
+
+    def seeded(seed: int):
+        if fast:
+            return lambda s: F.xxhash64(s, F.lit(seed))
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, seeded(i))) for i in range(n_hashes)]
+    )
+    out = step.select("id", sig.alias("sig"))
     return out.select(
         "id",
         F.posexplode(
