@@ -501,25 +501,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = (
             e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
         )
-        return sim.brute_force_topk(e, qvec, k=20)
+        # numpy scoring path: bit-exact fold semantics, ~4x over the
+        # interpreted HOF-lambda cosine at bench scale (r7)
+        return sim.brute_force_topk(e, qvec, k=20, via="numpy")
     q["embedding_topk"] = embedding_topk
 
     def knn_join_small(spark, sf):
         e = _t(spark, sf, "embeddings").withColumn(
             "embedding", F.transform("embedding", lambda x: x.cast("double"))
         )
-        probes = e.filter(F.col("vec_id") < 10)
+        # the 10 probes are a bounded driver-side list; scoring them
+        # against every row runs batched in numpy with fold-exact floats
+        # (cosine_scores_numpy) instead of a crossJoin evaluating the
+        # interpreted HOF cosine per pair (r7; results bit-identical)
+        probe_rows = (
+            e.filter(F.col("vec_id") < 10)
+            .select("vec_id", "embedding").collect()
+        )
         scored = (
-            probes.alias("a")
-            .crossJoin(e.alias("b"))
-            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-            .select(
-                F.col("a.vec_id").alias("qid"),
-                F.col("b.vec_id").alias("nid"),
-                F.round(
-                    cosine(F.col("a.embedding"), F.col("b.embedding")), 6
-                ).alias("cos"),
+            sim.cosine_scores_numpy(
+                e, [(r["vec_id"], r["embedding"]) for r in probe_rows]
             )
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", F.round(F.col("cos"), 6).alias("cos"))
         )
         w = Window.partitionBy("qid").orderBy(
             F.col("cos").desc(), F.col("nid").asc()

@@ -26,17 +26,216 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[flo
     return [[r.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
+# ---------------------------------------------------------------------------
+# numpy twin of functions.vectors.cosine — bit-exact, batched (r7)
+# ---------------------------------------------------------------------------
+#
+# The expression cosine() evaluates its zip_with/aggregate lambdas
+# INTERPRETED (no whole-stage codegen for higher-order functions), which
+# costs ~200ns per element — dominant when a query scores |rows| x |probes|
+# pairs.  Unrolling the fold into a flat codegen'd expression is WORSE (the
+# 192-term tree disables whole-stage codegen and interpreted tree-walking is
+# slower than the HOF loop; measured r7).  The fast path that preserves the
+# result bit-for-bit is numpy with the fold's exact semantics:
+#
+#   - per-element products a[i]*b[i] are single IEEE ops (identical),
+#   - the JVM fold is ((0.0 + p0) + p1) + ... ; np.add.accumulate is
+#     defined as the same left-to-right accumulation, and seeding
+#     p0 + 0.0 reproduces the fold's initial 0.0 + p0 (relevant only to
+#     the sign of a -0.0 first product),
+#   - norm/sqrt/division are the same correctly-rounded IEEE ops.
+#
+# Equivalence is pinned by tests and the oracle value-hash gates.
+
+
+def _seq_fold_sum(prods):
+    """Left-to-right IEEE sum along the last axis, identical to the JVM
+    fold aggregate(arr, 0.0, acc + v)."""
+    import numpy as np
+
+    if prods.shape[-1] == 0:
+        return np.zeros(prods.shape[:-1], dtype=np.float64)
+    prods = prods.astype(np.float64, copy=True)
+    prods[..., 0] = prods[..., 0] + 0.0
+    return np.add.accumulate(prods, axis=-1)[..., -1]
+
+
+def _arrow_matrix(col, dim: int):
+    """(n, dim) float64 matrix from an Arrow list column; None when the
+    column is ragged/nulled (caller falls back to the per-row path)."""
+    import numpy as np
+
+    if col.null_count:
+        return None
+    try:
+        offsets = col.offsets.to_numpy()
+    except AttributeError:
+        return None
+    if len(offsets) < 2:
+        return None
+    widths = offsets[1:] - offsets[:-1]
+    if not (widths == dim).all():
+        return None
+    if col.values.null_count:  # null ELEMENTS inside lists
+        return None
+    flat = col.values.to_numpy(zero_copy_only=False)
+    flat = flat[offsets[0]:offsets[-1]]
+    return flat.astype(np.float64, copy=False).reshape(-1, dim)
+
+
+def _fold_cos_py(a, b):
+    """Per-row fallback replicating cosine()'s null/ragged semantics:
+    zip_with pads the shorter array with null, a null product nulls the
+    whole sum."""
+    import numpy as np
+
+    if a is None or b is None:
+        return None
+
+    def fold_dot(x, y):
+        m = max(len(x), len(y))
+        acc = np.float64(0.0)
+        for i in range(m):
+            xi = x[i] if i < len(x) else None
+            yi = y[i] if i < len(y) else None
+            if xi is None or yi is None:
+                return None
+            acc = acc + np.float64(xi) * np.float64(yi)
+        return acc
+
+    def fold_norm(x):
+        acc = np.float64(0.0)
+        for xi in x:
+            if xi is None:
+                return None
+            v = np.float64(xi)
+            acc = acc + v * v
+        return acc
+
+    import numpy as _np
+    d, na2, nb2 = fold_dot(a, b), fold_norm(a), fold_norm(b)
+    if d is None or na2 is None or nb2 is None:
+        return None
+    with _np.errstate(divide="ignore", invalid="ignore"):
+        return float(d / (_np.sqrt(na2) * _np.sqrt(nb2)))
+
+
+def cosine_scores_numpy(
+    vectors: DataFrame,
+    queries,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, nid, cos) for every (query, row) pair, cos unrounded double —
+    the batched numpy twin of selecting cosine(query, row) per pair.
+
+    ``queries`` is a small driver-side list of (qid, vector) — the probe
+    set of a top-k / knn query (10s of rows).  Only the vector table
+    crosses Arrow once; the |queries| x |rows| scoring runs vectorized in
+    numpy with fold-exact summation (see module comment).  Self-pairs are
+    emitted; filter downstream if unwanted.
+
+    Divergence from the expression twin: a zero-norm vector yields NaN
+    here but raises DIVIDE_BY_ZERO under ANSI mode (Spark 4 default) on
+    the expression path.  No driver table contains zero vectors.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    qitems = [(int(qid), [None if v is None else float(v) for v in vec])
+              for qid, vec in queries]
+    dim = len(qitems[0][1]) if qitems else 0
+
+    def gen(batches):
+        qn = {}
+        for qid, qv in qitems:
+            if any(v is None for v in qv):
+                qn[qid] = None
+            else:
+                arr = np.asarray(qv, dtype=np.float64)
+                qn[qid] = np.sqrt(_seq_fold_sum(arr * arr))
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            col = batch.column(1)
+            mat = _arrow_matrix(col, dim)
+            out_qid, out_nid, out_cos = [], [], []
+            if mat is not None:
+                nb = np.sqrt(_seq_fold_sum(mat * mat))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    for qid, qv in qitems:
+                        if qn[qid] is None:
+                            cos = np.full(n, np.nan)
+                            mask = np.ones(n, dtype=bool)
+                        else:
+                            qarr = np.asarray(qv, dtype=np.float64)
+                            dots = _seq_fold_sum(mat * qarr)
+                            cos = dots / (qn[qid] * nb)
+                            mask = np.zeros(n, dtype=bool)
+                        out_qid.append(np.full(n, qid, dtype=np.int64))
+                        out_nid.append(ids)
+                        c = pa.array(cos, type=pa.float64(),
+                                     mask=mask if mask.any() else None)
+                        out_cos.append(c)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_qid), type=pa.int64()),
+                        pa.array(np.concatenate(out_nid), type=pa.int64()),
+                        pa.concat_arrays([c.combine_chunks()
+                                          if hasattr(c, "combine_chunks")
+                                          else c for c in out_cos]),
+                    ],
+                    names=["qid", "nid", "cos"],
+                )
+            else:
+                rows = col.to_pylist()
+                for qid, qv in qitems:
+                    for rid, rvec in zip(ids, rows):
+                        out_qid.append(qid)
+                        out_nid.append(int(rid))
+                        out_cos.append(_fold_cos_py(qv, rvec))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_qid, type=pa.int64()),
+                        pa.array(out_nid, type=pa.int64()),
+                        pa.array(out_cos, type=pa.float64()),
+                    ],
+                    names=["qid", "nid", "cos"],
+                )
+
+    slim = vectors.select(
+        F.col(id_col).cast("bigint").alias("nid"), F.col(vec_col)
+    )
+    return slim.mapInArrow(gen, schema="qid bigint, nid bigint, cos double")
+
+
 def brute_force_topk(
     vectors: DataFrame,
     query: Sequence[float],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    via: str = "expr",
 ) -> DataFrame:
     """Top-k ids by cosine to a single query vector.
 
     orderBy+limit lets Spark run a distributed TakeOrdered — no full sort.
+    ``via='numpy'`` scores batches through cosine_scores_numpy (bit-exact,
+    ~4x at bench scale); ``'expr'`` keeps the pure-expression plan.
     """
+    if via == "numpy":
+        scores = cosine_scores_numpy(vectors, [(0, list(query))],
+                                     id_col, vec_col)
+        return (
+            scores.select(
+                F.col("nid").alias(id_col),
+                F.round(F.col("cos"), 6).alias("cos"),
+            )
+            .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
     q = lit_vector(query)
     return (
         vectors.select(
