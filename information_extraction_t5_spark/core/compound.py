@@ -107,6 +107,53 @@ def explode_row(
     return rows
 
 
+def star_triple_rows(
+    pred_sentence: str,
+    example_id: str,
+    prob: float,
+    window_id: int,
+) -> List[tuple]:
+    """Exactly the star-cohort rows the inference path keeps, in one pass.
+
+    best_to_triples consumes only the ``*``-suffixed rows of
+    explode_row(label=prediction, ...) and immediately drops N/A/empty
+    objects — the generic kernel deconstructs the same sentence three
+    times and builds the ORIG/typename metric rows just to discard them.
+    This specialization (r7) deconstructs once and emits
+    (example_base, obj, obj_raw, window_id, prob, sent_id) tuples, where
+    example_base is example_id (single) or example_id~typename (compound
+    sub-rows, prob zeroed like the metric cohort).  Row-for-row equal to
+    the explode_row route by construction and pinned by
+    tests/test_star_triple_rows.py.
+    """
+    subs, tns = parsing.deconstruct(pred_sentence)
+    rows: List[tuple] = []
+    if len(tns) <= 1:
+        joined = " ".join(subs)
+        values = parsing.clean_answers(parsing.subanswer_of(joined))
+        obj = values[0] if values else ""
+        if obj and obj != "N/A":
+            head = subs[0] if subs else ""
+            sids = parsing.sent_ids(head)
+            rows.append((
+                example_id, obj, parsing.raw_text_of(head), window_id,
+                float(prob), sids[0] if sids else -1,
+            ))
+        return rows
+    for tn in tns:
+        pred_ss = subs[tns.index(tn)]  # first occurrence, kernel semantics
+        values = parsing.clean_answers(parsing.subanswer_of(pred_ss))
+        obj = values[0] if values else ""
+        if not obj or obj == "N/A":
+            continue
+        sids = parsing.sent_ids(pred_ss)
+        rows.append((
+            f"{example_id}~{tn}", obj, parsing.raw_text_of(pred_ss),
+            window_id, 0.0, sids[0] if sids else -1,
+        ))
+    return rows
+
+
 def group_keys(example_id: str, group_by_typenames: bool = True) -> List[str]:
     """Metric-rollup group keys for one example id.
 

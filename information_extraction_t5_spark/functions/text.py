@@ -20,18 +20,24 @@ PUNCT = r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
 def clean_document_text(col: Column) -> Column:
     """Document cleanup chain (reference: context.py:409-416 +
     basic_to_squad.py:226): tabs->spaces, collapse ws-wrapped newline runs,
-    collapse repeated whitespace, fold tokenizer-hostile chars, trim."""
-    c = F.regexp_replace(col, "༡༨/༢", "")
-    c = F.regexp_replace(c, r"\t", " ")
+    collapse repeated whitespace, fold tokenizer-hostile chars, trim.
+
+    r7: the five literal/single-char rules run as replace/translate/btrim
+    instead of regexp_replace — same output (the moved-up char folds touch
+    no whitespace, so they commute with the two real regex rules; btrim's
+    strip set is exactly Java's ASCII \\s), one regex scan fewer per rule.
+    Pinned by the reference differential suite and
+    test_textnorm.test_clean_document_text_expression_twin."""
+    c = F.replace(col, F.lit("༡༨/༢"), F.lit(""))
+    c = F.translate(c, "\t´", " '")
+    c = F.replace(c, F.lit("™"), F.lit("TM"))
+    c = F.replace(c, F.lit("…"), F.lit("..."))
     c = F.regexp_replace(c, r"\s*\n+\s*", "\n")
     c = F.regexp_replace(c, r"(\s)\1+", "$1")
-    c = F.regexp_replace(c, "´", "'")
-    c = F.regexp_replace(c, "™", "TM")
-    c = F.regexp_replace(c, "…", "...")
     # Python str.strip() removes ALL whitespace; F.trim only spaces — a
     # trailing '\n' survives trim and shifts every window boundary (caught
     # by the r5 full-stage differential)
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    return F.btrim(c, F.lit(" \t\n\x0b\f\r"))
 
 
 def brackets_to_parens(col: Column) -> Column:

@@ -102,7 +102,7 @@ def _driver_union_find(pairs) -> list:
     return [(n, find(n)) for n in parent]
 
 
-DEFAULT_DRIVER_THRESHOLD = 100_000
+DEFAULT_DRIVER_THRESHOLD = 1_000_000
 
 
 def connected_components_star(
@@ -125,40 +125,54 @@ def connected_components_star(
     Small-graph fast path: each distributed round costs a handful of
     blocking jobs (localCheckpoint + convergence checksum) regardless of
     data size — on a mention graph of a few hundred thousand edges that
-    fixed latency dominates.  When the (already materialized) edge set is
-    under ``driver_threshold`` rows, a driver-side union-find computes the
+    fixed latency dominates.  When the UNDIRECTED input edge list is under
+    ``driver_threshold`` rows, a driver-side union-find computes the
     identical labels in one collect + one parallelize (same min-id
     semantics; pinned by test_canonicalize_star parity tests).  The
     distributed contraction is the 10^12-scale path; set
     ``driver_threshold=0`` to force it.
 
-    Driver-memory sizing: the fast path collects up to ``driver_threshold``
-    (a, b) string tuples plus the union-find dict — roughly 150-200 bytes
-    per edge of Python overhead, so the 100k default costs ~20 MB and fits
-    Spark's default 1g driver.  Raise it only with driver memory to match
-    (bench.py runs with SPARK_DRIVER_MEM=24g); plumbed through
-    ``PipelineConfig.cc_driver_threshold`` so deployments size it without
-    code changes.  The gate is a single bounded ``limit(threshold+1)``
-    collect — probe and fetch fused into one job (CollectLimit evaluates
-    incrementally, so at 10^12-turn scale it early-exits instead of
-    scanning the whole edge set); the checkpoint is only paid on the
-    distributed fallback, whose map stages reuse the probe's shuffle files.
-    """
-    sym = _symmetric(edges, src, dst)
+    r7: the gate counts the raw (null/self filtered) input edge rows — it
+    no longer pays the symmetrize-union + distinct shuffle before probing
+    (the union-find neither needs both directions nor dedup, so the
+    collect is half the bytes for the same graph), and the probe is a
+    count over a lazily-checkpointed edge frame followed by a cache-read
+    collect.  On the distributed fallback that same cached frame feeds the
+    symmetrization, so the count job replaces the eager checkpoint the old
+    path paid anyway — no extra pass at 10^12 scale.
 
-    if driver_threshold > 0:
-        probe = sym.limit(driver_threshold + 1).collect()
-        if len(probe) <= driver_threshold:
-            # schema mirrors the distributed path: node/component keep the
-            # edge columns' type (string ids in practice, but not assumed)
-            node_type = sym.schema["a"].dataType
-            schema = T.StructType([
-                T.StructField("node", node_type, False),
-                T.StructField("component", node_type, False),
-            ])
-            labels = _driver_union_find([(r["a"], r["b"]) for r in probe])
-            return sym.sparkSession.createDataFrame(labels, schema)
-    e = sym.localCheckpoint(eager=True)
+    Driver-memory sizing: the fast path collects up to ``driver_threshold``
+    (a, b) string tuples plus the union-find dict — roughly 150-250 bytes
+    per edge of Python overhead, so the 1M default costs ~200 MB against
+    the 20g driver the session factory configures (scale
+    ``driver_threshold`` down with driver memory; plumbed through
+    ``PipelineConfig.cc_driver_threshold`` so deployments size it without
+    code changes).  Past ~1M edges the collect itself costs seconds and
+    the distributed contraction wins regardless of memory.
+    """
+    flat = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        # computed once: the probe count materializes it, the driver-path
+        # collect and the distributed symmetrization read the cache
+        .localCheckpoint(eager=False)
+    )
+
+    if driver_threshold > 0 and flat.count() <= driver_threshold:
+        probe = flat.collect()
+        # schema mirrors the distributed path: node/component keep the
+        # edge columns' type (string ids in practice, but not assumed)
+        node_type = flat.schema["a"].dataType
+        schema = T.StructType([
+            T.StructField("node", node_type, False),
+            T.StructField("component", node_type, False),
+        ])
+        labels = _driver_union_find([(r["a"], r["b"]) for r in probe])
+        return flat.sparkSession.createDataFrame(labels, schema)
+    e = _symmetric(flat, "a", "b").localCheckpoint(eager=True)
     nodes = e.select(F.col("a").alias("node")).distinct() \
         .localCheckpoint(eager=True)
 

@@ -478,6 +478,36 @@ EXTRACTION_SCHEMA = (
 )
 
 
+def top1_prereduce_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Map-side combiner for the top-1-window stage (r7).
+
+    Keeps, per (conv_id, qa_id) within one batch, the row minimizing
+    (na_count asc, prob desc, window_id asc) — exactly top1_window's
+    use_fewer_na=True ordering (na via str.count('N/A'), the literal twin
+    of the size(split(...))-1 expression).  argmin is associative, so
+    feeding per-batch winners into the downstream top1_window yields the
+    identical global winner under ANY partitioning — this only shrinks
+    the Arrow crossing and the top-1 shuffle from |windows x questions|
+    rows to |documents x questions|.
+    """
+    if len(pdf) <= 1:
+        return pdf
+    import numpy as np
+
+    na = np.fromiter(
+        (p.count("N/A") for p in pdf["prediction"]),
+        dtype=np.int64, count=len(pdf),
+    )
+    order = np.lexsort((
+        pdf["window_id"].to_numpy(),
+        -pdf["prob"].to_numpy(),
+        na,
+    ))
+    return pdf.iloc[order].drop_duplicates(
+        subset=["conv_id", "qa_id"], keep="first"
+    )
+
+
 def run_extraction(
     windows: DataFrame,
     predicates: Optional[List[Predicate]] = None,
@@ -550,6 +580,8 @@ def run_extraction_from_documents(
     choose_question: str = "first",
     question_seed: int = 13,
     tasks_per_core: Optional[int] = None,
+    pre_partitioned: bool = False,
+    prereduce_top1: bool = False,
 ) -> DataFrame:
     """Fused window-assembly + extraction: one Arrow crossing per document.
 
@@ -557,6 +589,17 @@ def run_extraction_from_documents(
     they never materialize as a Spark column.  Use when downstream stages
     don't need window_text (grounding off); otherwise build windows
     explicitly and call run_extraction.
+
+    ``pre_partitioned=True`` skips the model-stage repartition: the caller
+    already pinned a REPARTITION_BY_NUM exchange upstream (e.g. on the
+    transcripts feeding assemble_documents, so assembly and the model
+    stage share ONE exchange — see pipeline.extract_candidates, r7) and
+    this stage runs narrow on that layout.
+
+    ``prereduce_top1=True`` applies top1_prereduce_pdf per output batch —
+    ONLY for consumers that feed top1_window(use_fewer_na=True) next (the
+    kg pipeline): the per-(conv, qa) winner is identical, the per-window
+    candidate rows are not emitted.
     """
     from information_extraction_t5_spark.core.windows import sliding_windows
 
@@ -579,18 +622,21 @@ def run_extraction_from_documents(
                     win["window_id"].append(w.window_id)
                     win["window_offset"].append(w.offset)
                     win["window_text"].append(w.text)
-            yield model.predict_windows(pd.DataFrame(win), registry_spec,
+            out = model.predict_windows(pd.DataFrame(win), registry_spec,
                                         choose=choose_question,
                                         seed=question_seed)
+            yield top1_prereduce_pdf(out) if prereduce_top1 else out
 
     # The model stage pins its own parallelism: AQE coalesces upstream
     # shuffles by BYTES, which is exactly wrong before a compute-heavy UDF
     # (a few MB of documents can carry hours of model time — observed:
     # byte-coalescing collapsed extraction to ONE task).
     docs = documents.select("conv_id", "text")
-    target = _model_stage_tasks(documents, tasks_per_core)
-    # round-robin with explicit count: a hash repartition on conv_id is
-    # collapsed by the optimizer into the upstream groupBy exchange, whose
-    # read AQE then byte-coalesces; round-robin survives both
-    docs = docs.repartition(target)
+    if not pre_partitioned:
+        target = _model_stage_tasks(documents, tasks_per_core)
+        # round-robin with explicit count: a bare hash repartition on
+        # conv_id is collapsed by the optimizer into the upstream groupBy
+        # exchange, whose read AQE then byte-coalesces; round-robin (or a
+        # caller-side REPARTITION_BY_NUM, see pre_partitioned) survives both
+        docs = docs.repartition(target)
     return docs.mapInPandas(gen, schema=EXTRACTION_SCHEMA)

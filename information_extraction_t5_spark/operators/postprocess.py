@@ -210,6 +210,9 @@ def best_to_triples(best: DataFrame) -> DataFrame:
     training/eval concern — use the standalone operators there).
 
     Input: top-1 rows (conv_id, qa_id, window_id, prediction, prob).
+    r7: per-row work runs through compound.star_triple_rows — one
+    deconstruct per prediction instead of three, no discarded metric rows
+    (row-for-row parity pinned by tests/test_star_triple_rows.py).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -222,34 +225,23 @@ def best_to_triples(best: DataFrame) -> DataFrame:
                 pdf["conv_id"], pdf["qa_id"], pdf["prediction"],
                 pdf["prob"], pdf["window_id"],
             ):
-                n_subs = len(parsing.deconstruct(pred_sentence or "")[0])
-                wids = " ".join([str(wid)] * max(n_subs, 1))
-                for row in compound_kernel.explode_row(
-                    pred_sentence or "", pred_sentence or "", doc, ex,
-                    float(prob), wids,
+                for base, obj, raw, w, p, sid in (
+                    compound_kernel.star_triple_rows(
+                        pred_sentence or "", ex, float(prob), int(wid),
+                    )
                 ):
-                    ex_id = row["example_id"]
-                    if not ex_id.endswith("*"):
-                        continue
-                    base = ex_id[:-1]
                     if "~" in base:
                         stem, tn = base.rsplit("~", 1)
                         predicate = f"{stem}.{tn}"
                     else:
                         predicate = base
-                    values = parsing.clean_answers(row["prediction"] or "")
-                    obj = values[0] if values else ""
-                    if not obj or obj == "N/A":
-                        continue
-                    sids = row["sent_ids"] or []
-                    w = row["window_ids"] or []
                     out["conv_id"].append(doc)
                     out["pred"].append(predicate)
                     out["obj"].append(obj)
-                    out["obj_raw"].append(row["raw_text"])
-                    out["window_id"].append(int(w[0]) if w else -1)
-                    out["prob"].append(float(row["prob"]))
-                    out["sent_id"].append(int(sids[0]) if sids else -1)
+                    out["obj_raw"].append(raw)
+                    out["window_id"].append(w)
+                    out["prob"].append(p)
+                    out["sent_id"].append(int(sid))
             yield pd.DataFrame(out)
 
     return best.select(

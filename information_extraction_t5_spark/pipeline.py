@@ -82,11 +82,12 @@ class PipelineConfig:
     # (identity matching is stricter than span matching; the reference's
     # span schedule allows 5 edits for long strings, highlights.py:96-106)
     subj_buckets: int = 64        # subj-hash write partitioning
-    cc_driver_threshold: int = 100_000
-    # max symmetric mention-graph edges the canonicalize stage may collect
-    # for the driver-side union-find fast path (~20 MB at the default; see
+    cc_driver_threshold: int = 1_000_000
+    # max (undirected, raw) mention-graph edge rows the canonicalize stage
+    # may collect for the driver-side union-find fast path (~200 MB at the
+    # default against the session factory's 20g driver; see
     # canonicalize.connected_components_star).  0 forces the distributed
-    # star contraction; size up only with driver memory to match.
+    # star contraction; size down with driver memory.
 
 
 def build_windows(transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -100,8 +101,21 @@ def extract_candidates(spark: SparkSession, transcripts: DataFrame,
     """transcripts -> scored per-window predictions (pre-top-1).
 
     Fused assembly->windows->extraction: window text never materializes as
-    a Spark column (one Arrow crossing per document)."""
-    docs = assemble_documents(transcripts)
+    a Spark column (one Arrow crossing per document).
+
+    ONE exchange end to end (r7): the model-stage task count is pinned as
+    a REPARTITION_BY_NUM hash exchange on the *transcripts* — the groupBy
+    inside assemble_documents is then already clustered by conv_id (no
+    second exchange), AQE honors the user-specified partition count (no
+    byte-coalescing collapse of the model stage), and extraction runs
+    narrow on the assembled documents.  Previously assembly shuffled the
+    turns AND a round-robin repartition re-shuffled every document text."""
+    from information_extraction_t5_spark.operators.extraction import (
+        _model_stage_tasks,
+    )
+
+    target = _model_stage_tasks(transcripts, cfg.model_tasks_per_core)
+    docs = assemble_documents(transcripts.repartition(target, "conv_id"))
     return run_extraction_from_documents(
         docs, cfg.window,
         extractor=cfg.extractor, model_name=cfg.model_name,
@@ -109,6 +123,13 @@ def extract_candidates(spark: SparkSession, transcripts: DataFrame,
         choose_question=cfg.choose_question,
         question_seed=cfg.question_seed,
         tasks_per_core=cfg.model_tasks_per_core,
+        pre_partitioned=True,
+        # scored feeds top1_window(use_fewer_na=True) in
+        # candidates_to_triples: reduce to the per-(conv, qa) winner
+        # inside the model task (argmin is associative) so the Arrow
+        # crossing and the top-1 shuffle carry |docs x questions| rows
+        # instead of |windows x questions| (r7)
+        prereduce_top1=True,
     )
 
 

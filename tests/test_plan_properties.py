@@ -88,8 +88,9 @@ def test_embedding_dedup_is_blocked_not_cartesian(spark):
 
 def test_model_stage_parallelism_survives_aqe(spark):
     """r1's hardest-won fix: AQE byte-coalescing must NOT collapse the
-    extraction (model) stage to one task.  Guard both the plan (an
-    explicit round-robin exchange owned by the UDF stage) and the runtime
+    extraction (model) stage to one task.  r7 shape: ONE user-pinned
+    (REPARTITION_BY_NUM) hash exchange on conv_id feeds assembly AND the
+    model stage — guard the exchange count, the pin, and the runtime
     partition spread of the stage output."""
     from information_extraction_t5_spark.data import synth
     from information_extraction_t5_spark.pipeline import (
@@ -102,11 +103,16 @@ def test_model_stage_parallelism_survives_aqe(spark):
     scored = extract_candidates(spark, transcripts, cfg)
 
     plan = _plan(scored)
-    assert "RoundRobinPartitioning" in plan
+    # exactly one exchange, user-pinned so AQE cannot byte-coalesce it
+    assert plan.count("Exchange (") == 1
+    assert "REPARTITION_BY_NUM" in plan
 
     n_parts = (
         scored.select(F.spark_partition_id().alias("p")).distinct().count()
     )
+    # hash spread of 40 convs over >= 4x-core partitions: a handful of
+    # collisions are fine, a byte-coalescing collapse (1-2 partitions,
+    # the r1 failure mode) is not
     want = min(40, spark.sparkContext.defaultParallelism)
     assert n_parts >= want, (
         f"model stage ran in {n_parts} partitions; byte-coalescing "
