@@ -248,9 +248,16 @@ def canonical_entities(
     LSH bucket, ...) produced upstream.  ``extra_edges`` (src, dst) adds
     direct mention-mention links (e.g. fuzzy-matched names).
     """
-    pairs = mentions.select(
-        F.col(mention_col).alias("mention"), F.col(key_col).alias("key")
-    ).distinct()
+    pairs = (
+        mentions.select(
+            F.col(mention_col).alias("mention"), F.col(key_col).alias("key")
+        )
+        .distinct()
+        # three consumers across two jobs (key_rep + edge build inside the
+        # CC probe job, all_mentions inside the final action): compute the
+        # distinct once, lazily so it folds into the first job (r7)
+        .localCheckpoint(eager=False)
+    )
     # project bipartite graph onto mentions: every key links its mentions
     # to the key's min mention (star, not clique: |edges| = |pairs|)
     key_rep = pairs.groupBy("key").agg(F.min("mention").alias("rep"))

@@ -163,17 +163,25 @@ class RegexFormExtractor:
             end = nl if nl != -1 else start
         return start, max(start, end)
 
-    def _find(self, field: str, text: str, lo: int, hi: int
-              ) -> Tuple[Optional[str], int, Optional[str]]:
-        """(canonical value, char pos in full window, raw surface if it
-        differs). Only matches within text[lo:hi]."""
-        core = text[lo:hi]
-        # line start offsets (within core) for next-line lookups
+    @staticmethod
+    def _window_ctx(text: str) -> Tuple[int, str, list, list]:
+        """Per-window parse context computed ONCE (r7): (lo, core, lines,
+        line start offsets).  _find previously re-sliced and re-split the
+        core per FIELD lookup — ~18x per window."""
+        start, end = RegexFormExtractor._core_span(text)
+        core = text[start:end]
         lines = core.split("\n")
         starts, acc = [], 0
         for ln in lines:
             starts.append(acc)
             acc += len(ln) + 1
+        return start, core, lines, starts
+
+    def _find(self, field: str, ctx: Tuple[int, str, list, list]
+              ) -> Tuple[Optional[str], int, Optional[str]]:
+        """(canonical value, char pos in full window, raw surface if it
+        differs). Only matches within the core span of ``ctx``."""
+        lo, core, lines, starts = ctx
         if field == "agencia":
             for i in range(len(lines) - 1):
                 if lines[i].strip().endswith("Agência Nº"):
@@ -211,8 +219,8 @@ class RegexFormExtractor:
         return m.group(1), lo + m.start(1), None
 
     def _subanswer(self, field: str, window_text: str,
-                   lo: int, hi: int) -> Tuple[str, bool]:
-        value, pos, raw = self._find(field, window_text, lo, hi)
+                   ctx: Tuple[int, str, list, list]) -> Tuple[str, bool]:
+        value, pos, raw = self._find(field, ctx)
         dtype = TYPENAME_TO_TYPE[field]
         if value is None:
             return f"[{dtype}]: N/A", False
@@ -228,17 +236,17 @@ class RegexFormExtractor:
         (higher when more subfields ground in this window — the analogue of
         exp(-loss/len); reference: qa_model.py:327-342)."""
         text = window_text or ""
-        lo, hi = self._core_span(text)
+        ctx = self._window_ctx(text)
         if is_compound:
             pieces, found = [], 0
             for sf in list(subfields):
-                piece, hit = self._subanswer(sf, text, lo, hi)
+                piece, hit = self._subanswer(sf, text, ctx)
                 pieces.append(piece)
                 found += int(hit)
             pred = " ".join(pieces)
             n_asked = max(len(list(subfields)), 1)
         else:
-            pred, hit = self._subanswer(field, text, lo, hi)
+            pred, hit = self._subanswer(field, text, ctx)
             found, n_asked = int(hit), 1
         return pred, round(math.exp(-(n_asked - found) / n_asked), 6)
 
@@ -277,19 +285,19 @@ class RegexFormExtractor:
             pdf["window_text"],
         ):
             text = text or ""
-            lo, hi = self._core_span(text)
+            ctx = self._window_ctx(text)
             self._burn()
             for qa_id, field, questions, subfields in registry_spec:
                 if subfields:
                     pieces, found = [], 0
                     for sf in subfields:
-                        piece, hit = self._subanswer(sf, text, lo, hi)
+                        piece, hit = self._subanswer(sf, text, ctx)
                         pieces.append(piece)
                         found += int(hit)
                     pred = " ".join(pieces)
                     n_asked = len(subfields)
                 else:
-                    pred, hit = self._subanswer(field, text, lo, hi)
+                    pred, hit = self._subanswer(field, text, ctx)
                     found, n_asked = int(hit), 1
                 n_variants = len(
                     _variant_indices(cid, qa_id, questions, choose, seed)

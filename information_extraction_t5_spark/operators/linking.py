@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from information_extraction_t5_spark.core.fuzzy import AREA_UNITS, STATE_NAMES
@@ -169,16 +169,19 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     b = lsh_buckets(df, id_col, text_col, n_hashes, bands, k, fast=fast)
     if materialize:
-        # the bucket table feeds 3+ DAG branches (sizes, both self-join
-        # sides); without materialization each branch recomputes every
-        # minhash signature
-        b = b.localCheckpoint(eager=True)
+        # the bucket table feeds both self-join sides (and the bucket-size
+        # window); without materialization each branch recomputes every
+        # minhash signature.  Lazy (r7): the materialization folds into
+        # the first consuming job instead of paying its own blocking job.
+        b = b.localCheckpoint(eager=False)
     if max_bucket is not None:
-        sizes = b.groupBy("band", "band_key").agg(
-            F.count(F.lit(1)).alias("_n")
-        )
+        # bucket-size cap as a window count (r7): one exchange on
+        # (band, band_key) that the self-join below then reuses —
+        # the former groupBy+join-back form paid a separate aggregation
+        # shuffle plus a join.  Row-identical filter.
+        w = Window.partitionBy("band", "band_key")
         b = (
-            b.join(sizes, ["band", "band_key"])
+            b.withColumn("_n", F.count(F.lit(1)).over(w))
             .filter(F.col("_n") <= max_bucket)
             .drop("_n")
         )
