@@ -27,7 +27,9 @@ from information_extraction_t5_spark.operators import dedup as dd
 from information_extraction_t5_spark.operators import multimodal as mm
 from information_extraction_t5_spark.operators import similarity as sim
 from information_extraction_t5_spark.operators import textstats as ts
-from information_extraction_t5_spark.operators.linking import minhash_signature
+from information_extraction_t5_spark.operators.linking import (
+    with_minhash_signature,
+)
 from information_extraction_t5_spark.operators.windows import (
     sliding_windows_exact,
     sliding_windows_sql,
@@ -101,17 +103,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- joins / top-k / aggregation (SURVEY §2.4-2.6) ----
 
     def top1_order_per_customer(spark, sf):
-        w = Window.partitionBy("o_custkey").orderBy(
-            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-        )
-        return (
+        # top-1-per-group as a struct-min aggregation (r7): map-side
+        # partial aggregation shrinks the shuffle to one candidate per
+        # (customer, map partition) and drops the per-partition sort the
+        # row_number window paid; (-price, orderkey) reproduces the
+        # (price desc, orderkey asc) ordering exactly, the winner is
+        # unique, rows identical.
+        best = (
             _t(spark, sf, "orders")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "o_custkey", "o_orderkey",
-                F.round("o_totalprice", 2).alias("best_price"),
+            .groupBy("o_custkey")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("o_totalprice")).alias("np"),
+                        F.col("o_orderkey").alias("k"),
+                        F.col("o_totalprice").alias("p"),
+                    )
+                ).alias("b")
             )
+        )
+        return best.select(
+            "o_custkey",
+            F.col("b.k").alias("o_orderkey"),
+            F.round(F.col("b.p"), 2).alias("best_price"),
         )
     q["top1_order_per_customer"] = top1_order_per_customer
 
@@ -253,50 +267,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def stratified_negative_resample(spark, sf):
         # per-group replacement sampling of negatives, n_pos draws per group
-        # (reference: balance_data.py:72-87), deterministic via md5 draws
+        # (reference: balance_data.py:72-87), deterministic via md5 draws.
+        # r7 shape: ONE groupBy builds (n_pos, sorted negative orderkeys)
+        # per customer — sort_array(collect_list(...)) reproduces the old
+        # row_number-by-orderkey indexing, element_at replaces the
+        # (custkey, neg_idx) join — was 3 aggregations + 2 joins over 3
+        # scans of orders.  Identical rows (same md5 draw formula); per-
+        # customer order counts are small and bounded, so the collected
+        # array is too.
         o = _t(spark, sf, "orders")
-        pos = (
-            o.filter(F.col("o_orderstatus") == "O")
+        per_cust = (
+            o.filter(F.col("o_orderstatus").isin("O", "F"))
             .groupBy("o_custkey")
-            .agg(F.count(F.lit(1)).cast("int").alias("n_pos"))
-        )
-        negw = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-        neg = (
-            o.filter(F.col("o_orderstatus") == "F")
-            .select("o_custkey", "o_orderkey")
-            .withColumn("neg_idx", F.row_number().over(negw) - 1)
-        )
-        neg_sizes = neg.groupBy("o_custkey").agg(
-            F.count(F.lit(1)).cast("int").alias("n_neg")
-        )
-        draws = (
-            pos.join(neg_sizes, "o_custkey")
-            .withColumn(
-                "slot", F.explode(F.sequence(F.lit(0), F.col("n_pos") - 1))
+            .agg(
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+                ).cast("int").alias("n_pos"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("o_orderstatus") == "F",
+                               F.col("o_orderkey"))
+                    )
+                ).alias("negs"),
             )
-            .withColumn(
-                "neg_idx",
-                F.pmod(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    ":",
-                                    F.col("o_custkey").cast("string"),
-                                    F.col("slot").cast("string"),
-                                )
-                            ),
-                            1, 8,
+            .filter((F.col("n_pos") > 0) & (F.size("negs") > 0))
+        )
+        draws = per_cust.withColumn(
+            "slot", F.explode(F.sequence(F.lit(0), F.col("n_pos") - 1))
+        ).withColumn(
+            "neg_idx",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("o_custkey").cast("string"),
+                                F.col("slot").cast("string"),
+                            )
                         ),
-                        16, 10,
-                    ).cast("bigint"),
-                    F.col("n_neg").cast("bigint"),
-                ).cast("int"),
-            )
-            .select("o_custkey", "slot", "neg_idx")
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("bigint"),
+                F.size("negs").cast("bigint"),
+            ).cast("int"),
         )
-        return draws.join(neg, ["o_custkey", "neg_idx"]).select(
-            "o_custkey", "slot", F.col("o_orderkey").alias("sampled_orderkey")
+        return draws.select(
+            "o_custkey", "slot",
+            F.element_at("negs", F.col("neg_idx") + 1)
+            .alias("sampled_orderkey"),
         )
     q["stratified_negative_resample"] = stratified_negative_resample
 
@@ -486,10 +506,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def minhash_signatures(spark, sf):
         d = _t(spark, sf, "documents")
-        sig = minhash_signature(
-            F.substring(F.col("text"), 1, 60), n_hashes=8, k=3
+        # staged-shingle variant (r7): the inline form re-extracted the
+        # shingle array once per hash seed (HOF lambdas have no CSE)
+        out = with_minhash_signature(
+            d, "_sig", F.substring(F.col("text"), 1, 60), n_hashes=8, k=3
         )
-        return d.select("doc_id", F.array_join(sig, "|").alias("sig"))
+        return out.select(
+            "doc_id", F.array_join(F.col("_sig"), "|").alias("sig")
+        )
     q["minhash_signatures"] = minhash_signatures
 
     # ---- embeddings / similarity ----

@@ -111,6 +111,32 @@ def minhash_signature(col, n_hashes: int = 16, k: int = 3,
     )
 
 
+def with_minhash_signature(df: DataFrame, out_col: str, text_col,
+                           n_hashes: int = 16, k: int = 3,
+                           fast: bool = False) -> DataFrame:
+    """df + ``out_col`` = minhash signature array, with the shingle array
+    STAGED as its own projection first (r7).
+
+    minhash_signature() inlines char_shingles into every per-seed
+    array_min(transform(...)) — and HOF lambdas have no CSE, so the
+    shingles are re-extracted once per hash seed (n_hashes x substring
+    work per row).  Identical output values.
+    """
+    sh_col = f"__mh_sh_{out_col}"
+    step = df.withColumn(sh_col, char_shingles(text_col, k))
+    sh = F.col(sh_col)
+
+    def seeded(seed: int):
+        if fast:
+            return lambda s: F.xxhash64(s, F.lit(seed))
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, seeded(i))) for i in range(n_hashes)]
+    )
+    return step.withColumn(out_col, sig).drop(sh_col)
+
+
 def lsh_buckets(df: DataFrame, id_col: str, text_col: str,
                 n_hashes: int = 16, bands: int = 4, k: int = 3,
                 fast: bool = False) -> DataFrame:
