@@ -560,6 +560,69 @@ def run_extraction(
     return slim.mapInPandas(gen, schema=EXTRACTION_SCHEMA)
 
 
+def run_extraction_to_triples(
+    documents: DataFrame,
+    window_spec,
+    predicates: Optional[List[Predicate]] = None,
+    extractor: str = "regex",
+    model_name: Optional[str] = None,
+    model_cost_ms: float = 0.0,
+    choose_question: str = "first",
+    question_seed: int = 13,
+    tasks_per_core: Optional[int] = None,
+    pre_partitioned: bool = False,
+) -> DataFrame:
+    """Fully fused inference stage (r7): windows -> batched extraction ->
+    top-1 winner -> star triples in ONE Python crossing.
+
+    Safe because assemble_documents emits exactly one row per conv_id, so
+    every (conv, qa) candidate set lives inside one Arrow batch and the
+    in-batch top-1 (top1_prereduce_pdf — the exact top1_window
+    use_fewer_na ordering) IS the global winner; star_triple_rows is the
+    differential-pinned best_to_triples kernel.  Replaces
+    run_extraction_from_documents -> shuffle -> top1_window ->
+    best_to_triples (a 1.4M-row shuffle + a second Arrow roundtrip at
+    bench sf1.0) on the inference path; the staged operators remain for
+    grounding/eval and the resumable catalog path.
+    Equivalence pinned by tests/test_top1_prereduce.py::
+    test_fused_triples_match_staged and the kg_triples oracle.
+    """
+    from information_extraction_t5_spark.core.windows import sliding_windows
+    from information_extraction_t5_spark.operators.postprocess import (
+        TRIPLE_SCHEMA,
+        triples_pdf_from_best,
+    )
+
+    preds = predicates or DEFAULT_PREDICATES
+    registry_spec = [
+        (p.qa_id, p.field, tuple(p.questions), tuple(p.subfields))
+        for p in preds
+    ]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _get_extractor(extractor, model_name, model_cost_ms)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            win = {"conv_id": [], "window_id": [], "window_offset": [],
+                   "window_text": []}
+            for cid, text in zip(pdf["conv_id"], pdf["text"]):
+                for w in sliding_windows(text or "", window_spec):
+                    win["conv_id"].append(cid)
+                    win["window_id"].append(w.window_id)
+                    win["window_offset"].append(w.offset)
+                    win["window_text"].append(w.text)
+            scored = model.predict_windows(pd.DataFrame(win), registry_spec,
+                                           choose=choose_question,
+                                           seed=question_seed)
+            yield triples_pdf_from_best(top1_prereduce_pdf(scored))
+
+    docs = documents.select("conv_id", "text")
+    if not pre_partitioned:
+        docs = docs.repartition(_model_stage_tasks(documents, tasks_per_core))
+    return docs.mapInPandas(gen, schema=TRIPLE_SCHEMA)
+
+
 def _model_stage_tasks(df: DataFrame,
                        tasks_per_core: Optional[int] = None) -> int:
     """Task count for the pinned model-stage repartition.

@@ -217,36 +217,42 @@ def best_to_triples(best: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "conv_id": [], "pred": [], "obj": [], "obj_raw": [],
-                "window_id": [], "prob": [], "sent_id": [],
-            }
-            for doc, ex, pred_sentence, prob, wid in zip(
-                pdf["conv_id"], pdf["qa_id"], pdf["prediction"],
-                pdf["prob"], pdf["window_id"],
-            ):
-                for base, obj, raw, w, p, sid in (
-                    compound_kernel.star_triple_rows(
-                        pred_sentence or "", ex, float(prob), int(wid),
-                    )
-                ):
-                    if "~" in base:
-                        stem, tn = base.rsplit("~", 1)
-                        predicate = f"{stem}.{tn}"
-                    else:
-                        predicate = base
-                    out["conv_id"].append(doc)
-                    out["pred"].append(predicate)
-                    out["obj"].append(obj)
-                    out["obj_raw"].append(raw)
-                    out["window_id"].append(w)
-                    out["prob"].append(p)
-                    out["sent_id"].append(int(sid))
-            yield pd.DataFrame(out)
+            yield triples_pdf_from_best(pdf)
 
     return best.select(
         "conv_id", "qa_id", "window_id", "prediction", "prob"
     ).mapInPandas(gen, schema=TRIPLE_SCHEMA)
+
+
+def triples_pdf_from_best(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Row kernel of best_to_triples, shared with the fused
+    extraction-to-triples stage (extraction.run_extraction_to_triples)."""
+    out = {
+        "conv_id": [], "pred": [], "obj": [], "obj_raw": [],
+        "window_id": [], "prob": [], "sent_id": [],
+    }
+    for doc, ex, pred_sentence, prob, wid in zip(
+        pdf["conv_id"], pdf["qa_id"], pdf["prediction"],
+        pdf["prob"], pdf["window_id"],
+    ):
+        for base, obj, raw, w, p, sid in (
+            compound_kernel.star_triple_rows(
+                pred_sentence or "", ex, float(prob), int(wid),
+            )
+        ):
+            if "~" in base:
+                stem, tn = base.rsplit("~", 1)
+                predicate = f"{stem}.{tn}"
+            else:
+                predicate = base
+            out["conv_id"].append(doc)
+            out["pred"].append(predicate)
+            out["obj"].append(obj)
+            out["obj_raw"].append(raw)
+            out["window_id"].append(w)
+            out["prob"].append(p)
+            out["sent_id"].append(int(sid))
+    return pd.DataFrame(out)
 
 
 SPAN_SCHEMA = (

@@ -133,6 +133,28 @@ def extract_candidates(spark: SparkSession, transcripts: DataFrame,
     )
 
 
+def extract_triples(spark: SparkSession, transcripts: DataFrame,
+                    cfg: PipelineConfig) -> DataFrame:
+    """transcripts -> candidate triples in one exchange + one Python stage
+    (pre alias-linking); see run_extraction_to_triples (r7)."""
+    from information_extraction_t5_spark.operators.extraction import (
+        _model_stage_tasks,
+        run_extraction_to_triples,
+    )
+
+    target = _model_stage_tasks(transcripts, cfg.model_tasks_per_core)
+    docs = assemble_documents(transcripts.repartition(target, "conv_id"))
+    return run_extraction_to_triples(
+        docs, cfg.window,
+        extractor=cfg.extractor, model_name=cfg.model_name,
+        model_cost_ms=cfg.model_cost_ms,
+        choose_question=cfg.choose_question,
+        question_seed=cfg.question_seed,
+        tasks_per_core=cfg.model_tasks_per_core,
+        pre_partitioned=True,
+    )
+
+
 def candidates_to_triples(scored: DataFrame, cfg: PipelineConfig,
                           spark: SparkSession,
                           windows: Optional[DataFrame] = None) -> DataFrame:
@@ -277,12 +299,20 @@ def run_pipeline(
                 question_seed=cfg.question_seed,
                 tasks_per_core=cfg.model_tasks_per_core,
             ).localCheckpoint()
-        else:
-            # single-consumer lineage: the triples checkpoint below
-            # materializes extraction exactly once — no extra pass here
-            scored = extract_candidates(spark, transcripts, cfg)
-        triples = candidates_to_triples(
-            scored, cfg, spark, windows=windows
+            triples = candidates_to_triples(
+                scored, cfg, spark, windows=windows
+            ).localCheckpoint()
+            return canonicalize_subjects(triples, cfg)
+        # fully fused inference stage (r7): ONE pinned exchange feeds
+        # assembly + windows + extraction + in-batch top-1 + star triples
+        # in a single Python crossing (assemble emits one row per conv, so
+        # the in-batch winner IS the global winner); alias linking is a
+        # broadcast join on the triples.  The staged operators remain the
+        # grounding/eval/catalog path.
+        triples = link_aliases(
+            extract_triples(spark, transcripts, cfg), alias_df(spark),
+            value_col="obj", out_col="obj",
+            predicates=cfg.link_predicates, pred_col="pred",
         ).localCheckpoint()
         return canonicalize_subjects(triples, cfg)
 

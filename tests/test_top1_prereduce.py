@@ -64,6 +64,32 @@ def test_prereduce_kernel_ordering():
     assert got == {("c1", 2), ("c2", 0)}
 
 
+def test_fused_triples_match_staged(spark):
+    """run_extraction_to_triples (one Python crossing) must equal the
+    staged extraction -> top1_window -> best_to_triples route."""
+    from information_extraction_t5_spark.data import synth
+    from information_extraction_t5_spark.operators.extraction import (
+        run_extraction_to_triples,
+    )
+    from information_extraction_t5_spark.operators.postprocess import (
+        best_to_triples,
+    )
+
+    docs = assemble_documents(synth.transcripts_df(spark, 80))
+    spec = WindowSpec(max_size=700, window_overlap=0.2, max_windows=6,
+                      question="Qual o endereço?", use_sentence_id=True)
+    staged = best_to_triples(top1_window(
+        run_extraction_from_documents(docs, spec)
+        .select("conv_id", "qa_id", "window_id", "prediction", "prob")
+    ))
+    fused = run_extraction_to_triples(docs, spec)
+    cols = ["conv_id", "pred", "obj", "obj_raw", "window_id", "prob",
+            "sent_id"]
+    a = sorted(tuple(r) for r in staged.select(*cols).collect())
+    b = sorted(tuple(r) for r in fused.select(*cols).collect())
+    assert a == b and len(a) > 0
+
+
 def test_prereduce_kernel_trivial_batches():
     empty = pd.DataFrame({
         "conv_id": [], "window_id": [], "window_offset": [],
