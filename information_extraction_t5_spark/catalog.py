@@ -103,6 +103,13 @@ class Catalog:
         return os.path.exists(self._lineage_path(name))
 
     def drop(self, name: str) -> None:
+        if self.fmt == "iceberg":
+            # ADVICE r6: under the iceberg backend the table itself must
+            # go too — rmtree only removes the local sidecar, leaving
+            # orphaned data + readable stale snapshots
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._identifier(name)}"
+            )
         shutil.rmtree(self.path(name), ignore_errors=True)
 
     # -- IO ----------------------------------------------------------------

@@ -391,6 +391,14 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # runs of 0xFF are legal fill before a marker (spec B.1.1.2,
+        # common in camera files) — skip them instead of reading a bogus
+        # segment length; a header truncated mid-marker is corrupt
+        # (ADVICE r6)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG header")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -68,16 +68,20 @@ def source_rates(docs: DataFrame, targets: Dict[str, int],
     missing = sorted(
         s for s, w in targets.items() if w > 0 and not observed.get(s)
     )
+    # NULL sources sort None-safely (ADVICE r6: a None key made sorted()
+    # raise; the pre-r6 left-join form passed NULL sources through with
+    # rate 0 — keep that behavior)
+    none_safe = lambda s: (s is None, s or "")  # noqa: E731
     if missing:
         raise ValueError(
             f"targets name sources with no observed documents: {missing} "
-            f"(observed sources: {sorted(observed)})"
+            f"(observed sources: {sorted(observed, key=none_safe)})"
         )
     if total is None:
         total = sum(n for s, n in observed.items() if targets.get(s))
     rows = [
         (s, int(n), int(total) * int(targets.get(s, 0)), int(wsum) * int(n))
-        for s, n in sorted(observed.items())
+        for s, n in sorted(observed.items(), key=lambda kv: none_safe(kv[0]))
     ]
     return docs.sparkSession.createDataFrame(
         rows, f"{source_col} string, observed long, num long, den long"

@@ -27,12 +27,16 @@ def _walk(data: bytes, start: int, end: int, depth: int = 0):
         (size,) = struct.unpack_from(">I", data, pos)
         fourcc = data[pos + 4: pos + 8]
         body = pos + 8
+        header = 8
         if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError(f"corrupt mp4 box {fourcc!r} at {pos}")
             (size,) = struct.unpack_from(">Q", data, pos + 8)
             body = pos + 16
+            header = 16  # a largesize below its own header is corrupt
         elif size == 0:  # to end of enclosing box
             size = end - pos
-        if size < 8 or pos + size > end:
+        if size < header or pos + size > end:
             raise ValueError(f"corrupt mp4 box {fourcc!r} at {pos}")
         yield fourcc, body, pos + size
         pos += size

@@ -21,6 +21,8 @@ Decode has three tiers (r4, extended r6):
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Callable, Iterator, Optional
 
 import pandas as pd
@@ -88,7 +90,13 @@ def extract_features(
                 try:
                     feats.append(decode(bytes(payload or b""), kind))
                     oks.append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, EOFError,
+                        IndexError, KeyError, struct.error, zlib.error,
+                        OverflowError):
+                    # ADVICE r6 (high): the real stdlib decoders raise
+                    # parse errors on corrupt/truncated payloads — one
+                    # malformed file must degrade to ok=False, never kill
+                    # the task (the module's documented contract)
                     feats.append(None)
                     oks.append(False)
             out = pdf[["media_id", "kind"]].copy()

@@ -119,3 +119,21 @@ def test_plan_broadcasts_rates_no_corpus_shuffle(spark):
     # the only Exchange may be the |sources|-row count agg, never a
     # corpus-wide hash partitioning on the source column over docs
     assert "SortMergeJoin" not in plan
+
+
+def test_null_source_rows_pass_through_with_rate_zero(spark):
+    """ADVICE r6: a NULL source must not crash source_rates (None key in
+    sorted()); it passes through with rate 0 like the pre-r6 left-join."""
+    from information_extraction_t5_spark.operators.mixing import (
+        rebalance_sources,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")],
+        "doc_id long, source string",
+    )
+    out = rebalance_sources(docs, {"a": 1, "b": 1})
+    null_rows = out.filter(out.source.isNull()).collect()
+    # rate 0 -> no emitted copies for the NULL-source doc
+    assert null_rows == []
+    assert out.filter(out.source.isNotNull()).count() > 0

@@ -208,3 +208,36 @@ def test_spark_stage_with_real_decoder(spark):
             expected = decode_stdlib(payload, kind)
             got = [round(float(x), 6) for x in row["feature"]]
             assert got == pytest.approx(expected, abs=1e-4)
+
+
+def test_corrupt_real_payloads_yield_ok_false(spark):
+    """ADVICE r6 (high): parse errors from the real decoders (EOFError/
+    ValueError/struct.error...) must degrade to feature=NULL, ok=False —
+    not kill the task."""
+    import numpy as np
+
+    from information_extraction_t5_spark.operators.jpeg import (
+        encode_baseline_jpeg,
+    )
+    from information_extraction_t5_spark.operators.multimodal import (
+        decode_stdlib,
+        extract_features,
+    )
+
+    img = (np.arange(16 * 16 * 3) % 255).reshape(16, 16, 3).astype(np.uint8)
+    good = encode_baseline_jpeg(img)
+    rows = [
+        ("m1", "image/jpeg", bytearray(good[: len(good) // 2])),  # truncated
+        ("m2", "video/mp4", bytearray(b"\x00\x00\x00\x01ftyp" + b"\x00" * 8)),
+        ("m3", "image/png", bytearray(b"\x89PNG\r\n\x1a\n" + b"garbage")),
+        ("m4", "image/jpeg", bytearray(good)),                     # control
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary"
+    )
+    out = {r["media_id"]: r for r in
+           extract_features(media, decoder=decode_stdlib).collect()}
+    assert out["m4"]["ok"] and out["m4"]["feature"] is not None
+    for mid in ("m1", "m2", "m3"):
+        assert not out[mid]["ok"], mid
+        assert out[mid]["feature"] is None, mid
