@@ -139,15 +139,20 @@ def with_minhash_signature(df: DataFrame, out_col: str, text_col,
 
 def lsh_buckets(df: DataFrame, id_col: str, text_col: str,
                 n_hashes: int = 16, bands: int = 4, k: int = 3,
-                fast: bool = False) -> DataFrame:
-    """(id, band, band_key): one row per band; equal band_key => candidate."""
+                fast: bool = False,
+                carry_value: bool = False) -> DataFrame:
+    """(id[, val], band, band_key): one row per band; equal band_key =>
+    candidate.  ``carry_value=True`` rides the text through as ``val`` so
+    a downstream verify can compare values without re-joining them (r7)."""
     rows_per_band = n_hashes // bands
     # materialize the shingle array BEFORE the n_hashes min-hash passes
     # (r6): the signature references the shingles once per hash seed, and
     # HOF lambdas have no CSE — an inline char_shingles here re-extracted
     # every substring n_hashes times per row
+    carry = [F.col(text_col).alias("val")] if carry_value else []
     step = df.select(
         F.col(id_col).alias("id"),
+        *carry,
         char_shingles(F.col(text_col), k).alias("__lsh_sh"),
     )
     sh = F.col("__lsh_sh")
@@ -160,9 +165,11 @@ def lsh_buckets(df: DataFrame, id_col: str, text_col: str,
     sig = F.array(
         *[F.array_min(F.transform(sh, seeded(i))) for i in range(n_hashes)]
     )
-    out = step.select("id", sig.alias("sig"))
+    out = step.select("id", *(["val"] if carry_value else []),
+                      sig.alias("sig"))
     return out.select(
         "id",
+        *(["val"] if carry_value else []),
         F.posexplode(
             F.array(
                 *[
@@ -182,7 +189,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         k: int = 3,
                         max_bucket: Optional[int] = None,
                         fast: bool = False,
-                        materialize: bool = True) -> DataFrame:
+                        materialize: bool = True,
+                        carry_value: bool = False) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
 
     The self-join is on (band, band_key) — shuffle is hash-partitioned on
@@ -192,8 +200,13 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     self-join: oversized buckets are non-discriminative (near-identical
     short texts) and their within-bucket join is quadratic — standard LSH
     hygiene for skewed corpora.
+
+    ``carry_value=True`` adds val_a/val_b columns (the blocked texts) so
+    an exact verify can run without re-joining the value table — two
+    fewer joins when ids map 1:1 to values (r7).
     """
-    b = lsh_buckets(df, id_col, text_col, n_hashes, bands, k, fast=fast)
+    b = lsh_buckets(df, id_col, text_col, n_hashes, bands, k, fast=fast,
+                    carry_value=carry_value)
     if materialize:
         # the bucket table feeds both self-join sides (and the bucket-size
         # window); without materialization each branch recomputes every
@@ -213,6 +226,9 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         )
     left = b.alias("l")
     right = b.alias("r")
+    cols = [F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")]
+    if carry_value:
+        cols += [F.col("l.val").alias("val_a"), F.col("r.val").alias("val_b")]
     return (
         left.join(
             right,
@@ -222,7 +238,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                 F.col("l.id") < F.col("r.id"),
             ],
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .select(*cols)
         .distinct()
     )
 

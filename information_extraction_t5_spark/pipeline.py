@@ -193,7 +193,6 @@ def fuzzy_name_edges(triples: DataFrame, max_dist: int = 3,
     ceiling).  Output: (src, dst) conversation pairs.
     """
     from information_extraction_t5_spark.operators.linking import (
-        levenshtein_rerank,
         lsh_candidate_pairs,
     )
 
@@ -209,28 +208,34 @@ def fuzzy_name_edges(triples: DataFrame, max_dist: int = 3,
         )
         .groupBy("name")
         .agg(F.min("id").alias("id"))
-        # consumed by the bucket build AND both rerank joins.  Measured
-        # (r3): do NOT force a repartition here to spread the minhash
-        # compute — at |distinct names| ~ 10^4 the AQE-coalesced 1-2
-        # partition layout beats any explicit spread, because every
+        # Measured (r3): do NOT force a repartition here to spread the
+        # minhash compute — at |distinct names| ~ 10^4 the AQE-coalesced
+        # 1-2 partition layout beats any explicit spread, because every
         # downstream mini-stage of the LSH chain then pays per-task
         # scheduling on partitions it doesn't need (8.9s vs 14.2s tail
         # wall at local[32]).  At cluster scale |distinct names| grows
         # past AQE's advisory bytes and the coalesce widens on its own.
-        # Lazy checkpoint: still computed once and cached (three consumers
-        # — bucket build + both rerank joins — read the cache), but the
-        # materialization folds into the first consumer's job instead of
-        # paying a separate blocking mini-job (sequential-floor cut, r6).
-        .localCheckpoint(eager=False)
+        # r7: carry_value removed the two rerank joins, leaving the bucket
+        # build as the ONLY consumer — the r6 lazy checkpoint became pure
+        # overhead and is gone.
     )
     # 4 bands x 4 hashes: bucket-match threshold ~Jaccard 0.7 — tight
     # enough that word-sharing names don't flood the candidate set, loose
-    # enough to catch <=2-edit typos on 20+-char names
+    # enough to catch <=2-edit typos on 20+-char names.
+    # carry_value (r7): name groups partition the convs, so each rep id
+    # maps 1:1 to its name — riding the names through the bucket self-join
+    # lets the Levenshtein verify run inline, dropping the two
+    # levenshtein_rerank value joins from the chain (edges identical,
+    # pinned by test_fuzzy_linking.test_carried_value_edges_match_rerank).
     cand = lsh_candidate_pairs(name_rep, "id", "name",
                                n_hashes=16, bands=4, k=3, max_bucket=64,
-                               fast=(hash_fn != "md5"))
-    kept = levenshtein_rerank(cand, name_rep, "id", "name",
-                              max_dist=max_dist)
+                               fast=(hash_fn != "md5"), carry_value=True)
+    kept = (
+        cand.filter(
+            F.abs(F.length("val_a") - F.length("val_b")) <= max_dist
+        )
+        .filter(F.levenshtein("val_a", "val_b") <= max_dist)
+    )
     return kept.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
 
 

@@ -51,3 +51,38 @@ def test_typo_names_merge_without_shared_cpf(spark):
         for r in triples_off.select("conv_id", "subj").distinct().collect()
     }
     assert subj_off["c_a"] != subj_off["c_b"]
+
+
+def test_carried_value_edges_match_rerank(spark):
+    """carry_value inline Levenshtein (r7) == levenshtein_rerank joins,
+    for 1:1 id->value inputs like the pipeline's name_rep frame."""
+    from information_extraction_t5_spark.operators.linking import (
+        levenshtein_rerank,
+        lsh_candidate_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    names = [
+        "maria madalena silva", "maria madalena silvaa",
+        "joao costa alves", "joao costa alvez", "joao costa azvez",
+        "ana trindade reis", "completely different name",
+        "ana trindade reiss", "paulo moreira lima", "paulo moreira limas",
+    ] + [f"unique name number {i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+
+    old_cand = lsh_candidate_pairs(df, "id", "name", n_hashes=16, bands=4,
+                                   k=3, max_bucket=64)
+    old = levenshtein_rerank(old_cand, df, "id", "name", max_dist=2)
+    new_cand = lsh_candidate_pairs(df, "id", "name", n_hashes=16, bands=4,
+                                   k=3, max_bucket=64, carry_value=True)
+    new = (
+        new_cand.filter(
+            F.abs(F.length("val_a") - F.length("val_b")) <= 2
+        )
+        .filter(F.levenshtein("val_a", "val_b") <= 2)
+    )
+    a = sorted((r["id_a"], r["id_b"]) for r in old.collect())
+    b = sorted((r["id_a"], r["id_b"]) for r in new.collect())
+    assert a == b and len(a) > 0
