@@ -74,10 +74,18 @@ def kg_stages(spark, n_convs: int, cpus: int, model_cost_ms: float = 0.0):
 
     t_all0 = time.time()
 
-    sc.setJobDescription("kg: extract+top1+triples checkpoint")
+    sc.setJobDescription("kg: fused extract->triples checkpoint")
     t0 = time.time()
-    scored = extract_candidates(spark, transcripts, cfg)
-    triples = candidates_to_triples(scored, cfg, spark).localCheckpoint()
+    from information_extraction_t5_spark.operators.linking import (
+        alias_df,
+        link_aliases,
+    )
+    from information_extraction_t5_spark.pipeline import extract_triples
+    triples = link_aliases(
+        extract_triples(spark, transcripts, cfg), alias_df(spark),
+        value_col="obj", out_col="obj",
+        predicates=cfg.link_predicates, pred_col="pred",
+    ).localCheckpoint()
     out["extract_triples_ckpt"] = round(time.time() - t0, 3)
     out["n_triples_ckpt"] = triples.count()
 

@@ -171,7 +171,12 @@ def connected_components_star(
             T.StructField("component", node_type, False),
         ])
         labels = _driver_union_find([(r["a"], r["b"]) for r in probe])
-        return flat.sparkSession.createDataFrame(labels, schema)
+        out = flat.sparkSession.createDataFrame(labels, schema)
+        # createDataFrame yields an RDD-backed frame with UNKNOWN size
+        # stats (Catalyst assumes huge -> downstream joins go sort-merge);
+        # here the row count is known and bounded by 2 x driver_threshold,
+        # so mark it broadcastable (r7)
+        return F.broadcast(out)
     e = _symmetric(flat, "a", "b").localCheckpoint(eager=True)
     nodes = e.select(F.col("a").alias("node")).distinct() \
         .localCheckpoint(eager=True)
@@ -239,6 +244,7 @@ def canonical_entities(
     key_col: str = "mention_key",
     extra_edges: DataFrame = None,
     driver_threshold: int = DEFAULT_DRIVER_THRESHOLD,
+    identity_rows: bool = True,
 ) -> DataFrame:
     """(mention, canonical_id): mentions sharing any key are one entity.
 
@@ -247,6 +253,15 @@ def canonical_entities(
     projection.  Keys are blocking keys (exact cpf, normalized name,
     LSH bucket, ...) produced upstream.  ``extra_edges`` (src, dst) adds
     direct mention-mention links (e.g. fuzzy-matched names).
+
+    ``identity_rows=False`` (r7) returns ONLY non-identity mappings
+    (canonical_id != mention) — consumers that left-join and
+    coalesce(canonical_id, mention) get the identical result while the
+    frame shrinks from |mentions| to at most the edge-endpoint count
+    (bounded by the CC driver threshold on the fast path).  On that path
+    the mapping is a filter over a LOCAL relation with accurate size
+    stats, so the consumer's join auto-broadcasts; the distributed path
+    keeps unknown stats and conservatively stays sort-merge.
     """
     pairs = (
         mentions.select(
@@ -277,6 +292,15 @@ def canonical_entities(
     # star contraction: O(log n) rounds on any shape (mention CHAINS across
     # shared keys would make min-label propagation O(chain length))
     comps = connected_components_star(edges, driver_threshold=driver_threshold)
+    if not identity_rows:
+        # both CC paths label every edge endpoint; mentions outside any
+        # edge are identity by definition and the caller's coalesce
+        # reconstructs them — skipping the all_mentions distinct + union
+        # + left join entirely
+        return comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("mention"),
+            F.col("component").alias("canonical_id"),
+        )
     all_mentions = pairs.select("mention").distinct()
     if extra_edges is not None:
         # mentions reachable only through extra edges: every endpoint of

@@ -262,9 +262,16 @@ def canonicalize_subjects(triples: DataFrame,
         fuzzy_name_edges(triples, cfg.fuzzy_link_max_dist, cfg.fuzzy_hash)
         if cfg.fuzzy_link else None
     )
+    # identity_rows=False (r7): the mapping carries only non-identity
+    # labels (the coalesce below reconstructs identity), bounded by the
+    # edge-endpoint count — on the CC driver path it is a filter over a
+    # local relation with accurate stats, so this left join
+    # auto-broadcasts instead of shuffling every triple (SMJ measured
+    # 0.85s vs 0.42s broadcast at 120k convs)
     mapping = canonical_entities(keys, "conv_id", "mention_key",
                                  extra_edges=extra,
-                                 driver_threshold=cfg.cc_driver_threshold)
+                                 driver_threshold=cfg.cc_driver_threshold,
+                                 identity_rows=False)
     return (
         triples.join(
             mapping.withColumnRenamed("mention", "conv_id"), "conv_id", "left"
