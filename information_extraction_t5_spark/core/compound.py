@@ -107,6 +107,24 @@ def explode_row(
     return rows
 
 
+# Fast-path guard for star_triple_rows (r7): the canonical single-subanswer
+# grammar the extractor emits — optional [SENTn] (numeric), one display
+# clue (exactly RE_TYPE_CLUE's charset, nonempty), a value with no
+# brackets/colons and no leading/trailing space, optional complement of the
+# same shape.  Anything else (compounds, empty/colon/space-edge values,
+# non-numeric SENT ids) falls through to the general component walk, so the
+# fast path only ever handles strings whose parse is unambiguous.
+_CLUE_CLASS = r"[A-Za-záàâãéèêíïóôõöúçñÁÀÂÃÉÈÍÏÓÔÕÖÚÇÑºª_ \/]"
+_VAL = r"[^\s\[\]:](?:[^\[\]:]*[^\s\[\]:])?"
+import re as _re
+
+_RE_STAR_FAST = _re.compile(
+    r"^(?:\[SENT(\d+)\] )?"
+    rf"\[({_CLUE_CLASS}+)\]: ({_VAL})"
+    rf"(?: \[aparece no texto\] ({_VAL}))?$"
+)
+
+
 def star_triple_rows(
     pred_sentence: str,
     example_id: str,
@@ -126,6 +144,23 @@ def star_triple_rows(
     the explode_row route by construction and pinned by
     tests/test_star_triple_rows.py.
     """
+    m = _RE_STAR_FAST.fullmatch(pred_sentence)
+    # a leading complement clue is NOT a plain name (raw_text_of splits on
+    # it) — that shape takes the general walk
+    if m is not None and m.group(2) != "aparece no texto":
+        sid_s, clue, value, raw = m.groups()
+        from information_extraction_t5_spark.core.registry import (
+            TYPE_TO_TYPENAME,
+        )
+        if clue not in TYPE_TO_TYPENAME:
+            # same failure the general path raises inside type_clues
+            raise ValueError(f"Unknown type name: {clue}")
+        if value == "N/A":
+            return []
+        return [(
+            example_id, value, raw, window_id, float(prob),
+            int(sid_s) if sid_s is not None else -1,
+        )]
     subs, tns = parsing.deconstruct(pred_sentence)
     rows: List[tuple] = []
     if len(tns) <= 1:

@@ -71,10 +71,35 @@ def test_grammar_edges():
         # complement binding on a compound member
         "[SENT1] [No do Documento]: 88975 [aparece no texto] 88.975 "
         "[SENT2] [Cidade]: X",
+        # fast-path boundary probes (r7): values with colons, edge
+        # whitespace, double separators — must fall through to the
+        # general walk and still agree
+        "[SENT2] [Nome]: A:B:C",
+        "[SENT2] [Nome]:  leading space",
+        "[SENT2] [Nome]: trailing space ",
+        "[SENT1]  [Nome]: double sep",
+        "[Nome]: N/A [aparece no texto] 1.2",
+        "[aparece no texto]: X",
+        "[Nome]: value [aparece no texto] ",
+        "[Nome]: A  B",
+        "[Nome]: XN/A",
+        "[Nome]: N/A",
+        "[CEP]: 11111-222",
     ]
     for pred in cases:
         _assert_equal(pred)
         _assert_equal(pred, ex="form.n_doc~x")  # '~' already in example id
+
+
+def test_unknown_clue_raises_both_paths():
+    import pytest
+
+    for pred in ("[SENT3] [Nonexistent Clue]: X",  # fast-path shape
+                 "[Nonexistent Clue]: X [SENT1] [Nome]: Y"):  # general
+        with pytest.raises(ValueError, match="Unknown type name"):
+            compound.star_triple_rows(pred, "e", 0.5, 1)
+        with pytest.raises(ValueError, match="Unknown type name"):
+            _reference_rows(pred, "e", 0.5, 1)
 
 
 def test_generated_corpus():
@@ -82,7 +107,8 @@ def test_generated_corpus():
     names = ["Etiqueta", "Agência", "CPF/CNPJ", "Nome", "Logradouro",
              "Número", "Bairro", "Cidade", "Estado", "CEP",
              "No do Documento", "Complemento"]
-    vals = ["N/A", "ID123", "RUA DAS FLORES", "12.345", "x", "", "A B"]
+    vals = ["N/A", "ID123", "RUA DAS FLORES", "12.345", "x", "", "A B",
+            "A:B", " padded ", "a  b", "XN/A"]
     for _ in range(400):
         parts = []
         for _ in range(r.randint(1, 6)):
