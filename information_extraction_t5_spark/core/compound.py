@@ -10,9 +10,11 @@ reference).  Reference: features/postprocess.py:16-246.
 """
 from __future__ import annotations
 
+import re
 from typing import List, Optional
 
 from information_extraction_t5_spark.core import parsing
+from information_extraction_t5_spark.core.registry import TYPE_TO_TYPENAME
 
 
 def _first_or_empty(items: List[str]) -> str:
@@ -116,9 +118,8 @@ def explode_row(
 # fast path only ever handles strings whose parse is unambiguous.
 _CLUE_CLASS = r"[A-Za-záàâãéèêíïóôõöúçñÁÀÂÃÉÈÍÏÓÔÕÖÚÇÑºª_ \/]"
 _VAL = r"[^\s\[\]:](?:[^\[\]:]*[^\s\[\]:])?"
-import re as _re
 
-_RE_STAR_FAST = _re.compile(
+_RE_STAR_FAST = re.compile(
     r"^(?:\[SENT(\d+)\] )?"
     rf"\[({_CLUE_CLASS}+)\]: ({_VAL})"
     rf"(?: \[aparece no texto\] ({_VAL}))?$"
@@ -149,9 +150,6 @@ def star_triple_rows(
     # it) — that shape takes the general walk
     if m is not None and m.group(2) != "aparece no texto":
         sid_s, clue, value, raw = m.groups()
-        from information_extraction_t5_spark.core.registry import (
-            TYPE_TO_TYPENAME,
-        )
         if clue not in TYPE_TO_TYPENAME:
             # same failure the general path raises inside type_clues
             raise ValueError(f"Unknown type name: {clue}")
