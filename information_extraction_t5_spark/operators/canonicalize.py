@@ -276,11 +276,17 @@ def canonical_entities(
     # project bipartite graph onto mentions: every key links its mentions
     # to the key's min mention (star, not clique: |edges| = |pairs|)
     key_rep = pairs.groupBy("key").agg(F.min("mention").alias("rep"))
+    # no edge-level distinct (r7): a mention with several keys sharing a
+    # rep yields duplicate (src, dst) rows — union-find is insensitive to
+    # duplicates and the distributed path dedups once inside _symmetric,
+    # so the dedicated shuffle here bought nothing (it only let the
+    # driver-path threshold count unique edges; with duplicates the count
+    # is conservative — at most a premature fall-back to the distributed
+    # path, never a wrong label)
     edges = (
         pairs.join(key_rep, "key")
         .select(F.col("mention").alias("src"), F.col("rep").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
     if extra_edges is not None:
         edges = edges.unionByName(

@@ -190,7 +190,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         max_bucket: Optional[int] = None,
                         fast: bool = False,
                         materialize: bool = True,
-                        carry_value: bool = False) -> DataFrame:
+                        carry_value: bool = False,
+                        distinct_pairs: bool = True) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
 
     The self-join is on (band, band_key) — shuffle is hash-partitioned on
@@ -204,6 +205,11 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     ``carry_value=True`` adds val_a/val_b columns (the blocked texts) so
     an exact verify can run without re-joining the value table — two
     fewer joins when ids map 1:1 to values (r7).
+
+    ``distinct_pairs=False`` skips the cross-band dedup shuffle: a pair
+    sharing several band buckets is emitted once per band.  Only for
+    consumers that are duplicate-insensitive (connected components);
+    the default keeps the documented distinct-pairs contract.
     """
     b = lsh_buckets(df, id_col, text_col, n_hashes, bands, k, fast=fast,
                     carry_value=carry_value)
@@ -229,7 +235,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     cols = [F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")]
     if carry_value:
         cols += [F.col("l.val").alias("val_a"), F.col("r.val").alias("val_b")]
-    return (
+    out = (
         left.join(
             right,
             on=[
@@ -239,8 +245,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
             ],
         )
         .select(*cols)
-        .distinct()
     )
+    return out.distinct() if distinct_pairs else out
 
 
 def levenshtein_rerank(pairs: DataFrame, values: DataFrame,

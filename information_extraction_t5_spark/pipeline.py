@@ -227,9 +227,14 @@ def fuzzy_name_edges(triples: DataFrame, max_dist: int = 3,
     # lets the Levenshtein verify run inline, dropping the two
     # levenshtein_rerank value joins from the chain (edges identical,
     # pinned by test_fuzzy_linking.test_carried_value_edges_match_rerank).
+    # distinct_pairs=False: the consumer is connected components, which
+    # is duplicate-insensitive — the cross-band dedup shuffle bought
+    # nothing (the Levenshtein re-check on a few thousand candidate rows
+    # is cheaper than the shuffle it saved)
     cand = lsh_candidate_pairs(name_rep, "id", "name",
                                n_hashes=16, bands=4, k=3, max_bucket=64,
-                               fast=(hash_fn != "md5"), carry_value=True)
+                               fast=(hash_fn != "md5"), carry_value=True,
+                               distinct_pairs=False)
     kept = (
         cand.filter(
             F.abs(F.length("val_a") - F.length("val_b")) <= max_dist
