@@ -8,7 +8,7 @@ don't snowball.  (SURVEY.md §4: custom logic, not a Catalyst rule.)
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -263,30 +263,31 @@ def canonical_entities(
     stats, so the consumer's join auto-broadcasts; the distributed path
     keeps unknown stats and conservatively stays sort-merge.
     """
-    pairs = (
-        mentions.select(
-            F.col(mention_col).alias("mention"), F.col(key_col).alias("key")
-        )
-        .distinct()
-        # three consumers across two jobs (key_rep + edge build inside the
-        # CC probe job, all_mentions inside the final action): compute the
-        # distinct once, lazily so it folds into the first job (r7)
-        .localCheckpoint(eager=False)
+    keys = mentions.select(
+        F.col(mention_col).alias("mention"), F.col(key_col).alias("key")
     )
+    if identity_rows:
+        # two consumers across two jobs (edge build inside the CC probe
+        # job, all_mentions inside the final action): compute once,
+        # lazily so it folds into the first job
+        keys = keys.localCheckpoint(eager=False)
     # project bipartite graph onto mentions: every key links its mentions
-    # to the key's min mention (star, not clique: |edges| = |pairs|)
-    key_rep = pairs.groupBy("key").agg(F.min("mention").alias("rep"))
-    # no edge-level distinct (r7): a mention with several keys sharing a
-    # rep yields duplicate (src, dst) rows — union-find is insensitive to
-    # duplicates and the distributed path dedups once inside _symmetric,
-    # so the dedicated shuffle here bought nothing (it only let the
-    # driver-path threshold count unique edges; with duplicates the count
-    # is conservative — at most a premature fall-back to the distributed
-    # path, never a wrong label)
+    # to the key's min mention (star, not clique: |edges| = |key rows|).
+    # ONE exchange (late r7): rep = min(mention) as a window aggregate on
+    # the raw (mention, key) rows — the former chain paid three (pairs
+    # distinct, groupBy-key rep, join-back on key).  Equivalent because:
+    # NULL keys are dropped explicitly (the old equi-join could never
+    # match them, so they produced no edges); duplicate (mention, key)
+    # rows emit duplicate edges — union-find is insensitive, the
+    # distributed path dedups inside _symmetric, and the driver-path
+    # threshold count stays conservative (over-counts only).  The window
+    # is sort-based (spills, never materializes a group), so a hot key
+    # stays memory-safe — same bound as the old groupBy.
     edges = (
-        pairs.join(key_rep, "key")
+        keys.filter(F.col("key").isNotNull())
+        .withColumn("rep", F.min("mention").over(Window.partitionBy("key")))
+        .filter(F.col("mention") != F.col("rep"))
         .select(F.col("mention").alias("src"), F.col("rep").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
     )
     if extra_edges is not None:
         edges = edges.unionByName(
@@ -307,7 +308,7 @@ def canonical_entities(
             F.col("node").alias("mention"),
             F.col("component").alias("canonical_id"),
         )
-    all_mentions = pairs.select("mention").distinct()
+    all_mentions = keys.select("mention").distinct()
     if extra_edges is not None:
         # mentions reachable only through extra edges: every endpoint of
         # every edge is already a node in ``comps`` (both CC paths label
