@@ -90,6 +90,32 @@ def test_star_and_minlabel_agree_on_shallow_graph(spark):
     assert a == b == _truth(edges)
 
 
+def test_canonical_entities_null_keys_and_duplicates(spark):
+    """Invariants of the window-min edge build (late r7, one exchange):
+
+    - rows with a NULL mention_key must produce NO edges (the former
+      join-on-key form could never match NULLs; a naive window partition
+      would silently merge every NULL-key mention into one entity);
+    - duplicate (mention, key) rows emit duplicate edges, which must not
+      change any label (union-find is duplicate-insensitive).
+    Checked on BOTH CC paths.
+    """
+    rows = [
+        ("A", "k1"), ("B", "k1"), ("B", "k1"),   # duplicate pair row
+        ("C", None), ("D", None),                # NULL keys: no link C-D
+        ("E", "k2"),
+    ]
+    mentions = spark.createDataFrame(
+        rows, "conv_id string, mention_key string")
+    for threshold in (10**6, 0):                 # driver path, distributed
+        got = {r["mention"]: r["canonical_id"]
+               for r in canonical_entities(
+                   mentions, driver_threshold=threshold).collect()}
+        assert got["A"] == got["B"] == "A"
+        assert got["C"] == "C" and got["D"] == "D"   # NOT merged via NULL
+        assert got["E"] == "E"
+
+
 def test_canonical_entities_chain_across_keys(spark):
     """A->k1<-B->k2<-C->k3<-D: a 4-mention chain through 3 shared keys
     must collapse to one entity (the adversarial case for min-label)."""
